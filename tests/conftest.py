@@ -1,0 +1,22 @@
+"""Test harness: force the CPU backend with 8 virtual devices.
+
+The container boots with an axon TPU backend pre-registered by
+sitecustomize (jax is already imported when pytest starts); tests must run
+on the CPU backend with a virtual 8-device mesh so multi-chip sharding is
+exercised without hardware.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=8 "
+    + os.environ.get("XLA_FLAGS", "")
+)
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
