@@ -1,0 +1,348 @@
+"""HBM-resident voxel-hash map store.
+
+TPU-native replacement for the reference's world map — 4,851 cube-indexed
+pcl clouds with pointer-shuffle recentering and per-cube VoxelGrid
+downsampling (C12 of SURVEY.md §2; src/laserMapping.cpp:64-91,446-614,
+980-1036).  Design:
+
+* The map is an open-addressed, set-associative hash table keyed by
+  *absolute* voxel coordinates (leaf = the reference's per-cube downsample
+  leaf: 0.2 m corner / 0.4 m surf).  One entry = one voxel centroid
+  (sum_xyz, count) — insertion IS the downsample, matching VoxelGrid's
+  one-centroid-per-voxel output.  The count is capped, turning the
+  centroid into an EMA, approximating PCL's repeated re-centroiding.
+* Absolute keys make the reference's six recentering while-loops
+  unnecessary: the sliding 21x11x21-cube window is enforced by a
+  vectorized eviction pass (drop entries whose 50 m cube leaves the
+  window around the sensor cube).
+* Per-frame NN search (replacing the kd-trees rebuilt at
+  src/laserMapping.cpp:707-708) uses a CSR search grid over 1 m cells:
+  sort live entries by cell-hash bucket once per frame, then each query
+  gathers its 27-cell neighborhood — exact within the reference's 1 m^2
+  5-NN gate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .config import LoamConfig
+from .ops.voxel import (
+    lexsort2,
+    pack_coords2,
+    voxel_coords,
+)
+from .utils import rotations
+
+EMPTY = jnp.uint32(0xFFFFFFFF)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class VoxelTable:
+    key_hi: jax.Array   # (T,) uint32, EMPTY when free
+    key_lo: jax.Array   # (T,) uint32
+    sum_xyz: jax.Array  # (T, 3) float32
+    cnt: jax.Array      # (T,) float32
+
+    @staticmethod
+    def create(size: int) -> "VoxelTable":
+        return VoxelTable(
+            key_hi=jnp.full((size,), EMPTY, jnp.uint32),
+            key_lo=jnp.zeros((size,), jnp.uint32),
+            sum_xyz=jnp.zeros((size, 3), jnp.float32),
+            cnt=jnp.zeros((size,), jnp.float32),
+        )
+
+    @property
+    def size(self) -> int:
+        return self.key_hi.shape[0]
+
+    def live(self) -> jax.Array:
+        return self.key_hi != EMPTY
+
+    def centroids(self) -> jax.Array:
+        return self.sum_xyz / jnp.maximum(self.cnt, 1.0)[:, None]
+
+    def n_live(self) -> jax.Array:
+        return jnp.sum(self.live().astype(jnp.int32))
+
+
+def _hash_u32(a, b):
+    """Mix two uint32 words (splitmix-style)."""
+    h = a * jnp.uint32(0x9E3779B1) ^ b * jnp.uint32(0x85EBCA77)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0xC2B2AE3D)
+    return h ^ (h >> 13)
+
+
+# ---------------------------------------------------------------------------
+# insertion
+# ---------------------------------------------------------------------------
+
+def aggregate_by_voxel(xyz, mask, leaf, out_cap):
+    """Pre-aggregate a frame's points into unique voxels:
+    returns (key_hi, key_lo, sum_xyz, cnt, valid) of length out_cap."""
+    key_hi, key_lo = pack_coords2(voxel_coords(xyz, leaf))
+    key_hi = jnp.where(mask, key_hi, EMPTY)
+    order = lexsort2(key_hi, key_lo)
+    hi_s, lo_s = key_hi[order], key_lo[order]
+    xyz_s = xyz[order]
+    valid_s = hi_s != EMPTY
+    newseg = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
+    ) & valid_s
+    seg = jnp.cumsum(newseg.astype(jnp.int32)) - 1
+    seg = jnp.where(valid_s, jnp.minimum(seg, out_cap), out_cap)
+    sums = jax.ops.segment_sum(
+        jnp.where(valid_s[:, None], xyz_s, 0.0), seg, num_segments=out_cap + 1
+    )[:out_cap]
+    cnts = jax.ops.segment_sum(
+        valid_s.astype(jnp.float32), seg, num_segments=out_cap + 1
+    )[:out_cap]
+    # representative key per segment = the key at its first (flagged)
+    # sorted position; indices are unique so a plain scatter is exact
+    seg_first_pos = jnp.zeros((out_cap + 1,), jnp.int32).at[
+        jnp.where(newseg, seg, out_cap)
+    ].set(jnp.arange(seg.shape[0], dtype=jnp.int32))
+    out_hi = hi_s[seg_first_pos[:out_cap]]
+    out_lo = lo_s[seg_first_pos[:out_cap]]
+    valid = cnts > 0
+    out_hi = jnp.where(valid, out_hi, EMPTY)
+    return out_hi, out_lo, sums, cnts, valid
+
+
+def table_insert(table: VoxelTable, key_hi, key_lo, sums, cnts, valid,
+                 cfg: LoamConfig) -> VoxelTable:
+    """Insert per-frame unique voxel aggregates (replaces cube insertion +
+    per-cube downsample, src/laserMapping.cpp:980-1036).
+
+    Set-associative probing with conflict-retry rounds: a claim writes the
+    key, re-reads to verify ownership (last-writer-wins races lose and
+    retry on the next way).  Keys are unique within a frame, so
+    segment-aggregate adds never collide.
+    """
+    T = table.size
+    ways = cfg.table_ways
+    nb = T // ways
+    base = (_hash_u32(key_hi, key_lo) % jnp.uint32(nb)).astype(jnp.int32) * ways
+
+    key_hi_t = table.key_hi
+    key_lo_t = table.key_lo
+    sum_t = jnp.concatenate([table.sum_xyz, jnp.zeros((1, 3), jnp.float32)])
+    cnt_t = jnp.concatenate([table.cnt, jnp.zeros((1,), jnp.float32)])
+
+    pending = valid
+    for _ in range(cfg.insert_rounds):
+        ways_idx = base[:, None] + jnp.arange(ways)[None, :]
+        t_hi = key_hi_t[ways_idx]
+        t_lo = key_lo_t[ways_idx]
+        match = (t_hi == key_hi[:, None]) & (t_lo == key_lo[:, None])
+        empty = t_hi == EMPTY
+        has_match = jnp.any(match, axis=1)
+        has_empty = jnp.any(empty, axis=1)
+        first_match = jnp.argmax(match, axis=1)
+        first_empty = jnp.argmax(empty, axis=1)
+        way = jnp.where(has_match, first_match, first_empty)
+        slot = base + way
+        can = pending & (has_match | has_empty)
+
+        claim = can & ~has_match
+        claim_slot = jnp.where(claim, slot, T)
+        key_hi_t = jnp.concatenate([key_hi_t, EMPTY[None]]).at[claim_slot].set(
+            key_hi
+        )[:T]
+        key_lo_t = jnp.concatenate(
+            [key_lo_t, jnp.zeros((1,), jnp.uint32)]
+        ).at[claim_slot].set(key_lo)[:T]
+
+        own = (key_hi_t[jnp.clip(slot, 0, T - 1)] == key_hi) & (
+            key_lo_t[jnp.clip(slot, 0, T - 1)] == key_lo
+        )
+        ok = can & own
+        add_slot = jnp.where(ok, slot, T)
+        sum_t = sum_t.at[add_slot].add(sums)
+        cnt_t = cnt_t.at[add_slot].add(cnts)
+        pending = pending & ~ok
+
+    # EMA count cap (keeps new observations influential; approximates
+    # VoxelGrid re-centroiding of old-centroid + new points)
+    cnt_new = cnt_t[:T]
+    scale = jnp.minimum(1.0, cfg.voxel_count_cap / jnp.maximum(cnt_new, 1e-6))
+    return VoxelTable(
+        key_hi=key_hi_t,
+        key_lo=key_lo_t,
+        sum_xyz=sum_t[:T] * scale[:, None],
+        cnt=cnt_new * scale,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window eviction
+# ---------------------------------------------------------------------------
+
+def entry_cubes(table: VoxelTable):
+    """50 m cube index of each entry's centroid:
+    cube = floor((p + 25) / 50) (src/laserMapping.cpp:446-452,983-989)."""
+    c = table.centroids()
+    return jnp.floor((c + 25.0) / 50.0).astype(jnp.int32)
+
+
+def evict_outside_window(table: VoxelTable, center_cube,
+                         cfg: LoamConfig) -> VoxelTable:
+    """Drop entries whose cube leaves the 21x11x21 window around the
+    sensor cube — the absolute-coordinate equivalent of the reference's
+    recentering shifts clearing edge cubes (src/laserMapping.cpp:454-614).
+    """
+    half = jnp.array(
+        [cfg.grid_width // 2, cfg.grid_height // 2, cfg.grid_depth // 2],
+        jnp.int32,
+    )
+    cubes = entry_cubes(table)
+    inside = jnp.all(jnp.abs(cubes - center_cube[None, :]) <= half, axis=1)
+    keep = table.live() & inside
+    return VoxelTable(
+        key_hi=jnp.where(keep, table.key_hi, EMPTY),
+        key_lo=table.key_lo,
+        sum_xyz=jnp.where(keep[:, None], table.sum_xyz, 0.0),
+        cnt=jnp.where(keep, table.cnt, 0.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FOV culling (C13)
+# ---------------------------------------------------------------------------
+
+def local_cube_fov(center_cube, tobe, cfg: LoamConfig):
+    """Which of the 5x5x5 neighbor cubes intersect the laser FOV
+    (src/laserMapping.cpp:616-672): a cube is kept if any corner lies
+    within 60 degrees of the sensor's horizontal plane (the check against
+    the body-Y-axis point)."""
+    r = cfg.local_cubes
+    n = 2 * r + 1
+    off = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-r, r + 1),
+            jnp.arange(-r, r + 1),
+            jnp.arange(-r, r + 1),
+            indexing="ij",
+        ),
+        -1,
+    ).reshape(-1, 3)  # (125, 3)
+    centers = (center_cube[None, :] + off).astype(jnp.float32) * cfg.cube_size
+    corner_off = jnp.stack(
+        jnp.meshgrid(
+            jnp.array([-1.0, 1.0]),
+            jnp.array([-1.0, 1.0]),
+            jnp.array([-1.0, 1.0]),
+            indexing="ij",
+        ),
+        -1,
+    ).reshape(-1, 3) * (cfg.cube_size / 2.0)
+    corners = centers[:, None, :] + corner_off[None, :, :]  # (125, 8, 3)
+
+    sensor = tobe[3:]
+    y_pt = rotations.apply_pose(tobe, jnp.array([0.0, 10.0, 0.0]))
+    s1 = jnp.sum((sensor[None, None] - corners) ** 2, -1)
+    s2 = jnp.sum((y_pt[None, None] - corners) ** 2, -1)
+    root = 10.0 * jnp.sqrt(3.0) * jnp.sqrt(s1)
+    check1 = 100.0 + s1 - s2 - root
+    check2 = 100.0 + s1 - s2 + root
+    in_fov = jnp.any((check1 < 0.0) & (check2 > 0.0), axis=1)  # (125,)
+    return in_fov.reshape(n, n, n)
+
+
+# ---------------------------------------------------------------------------
+# per-frame search grid (CSR over 1 m cells)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SearchGrid:
+    xyz: jax.Array          # (T, 3) entries sorted by cell bucket
+    bucket_starts: jax.Array  # (B + 1,) int32 CSR offsets
+    n_local: jax.Array      # () int32 — live entries in the local region
+
+
+def _cell_bucket(cell, n_buckets):
+    h = _hash_u32(
+        (cell[..., 0] * jnp.int32(73856093)).astype(jnp.uint32)
+        ^ (cell[..., 1] * jnp.int32(19349663)).astype(jnp.uint32),
+        (cell[..., 2] * jnp.int32(83492791)).astype(jnp.uint32),
+    )
+    return (h % jnp.uint32(n_buckets)).astype(jnp.int32)
+
+
+def build_search_grid(table: VoxelTable, center_cube, fov, cfg: LoamConfig
+                      ) -> SearchGrid:
+    """Bucket the local-region (5x5x5 cubes, FOV-culled) map centroids by
+    1 m cell — the per-frame analogue of the kd-tree rebuild."""
+    B = cfg.search_buckets
+    cent = table.centroids()
+    cubes = entry_cubes(table)
+    off = cubes - center_cube[None, :]
+    r = cfg.local_cubes
+    in_region = table.live() & jnp.all(jnp.abs(off) <= r, axis=1)
+    offc = jnp.clip(off + r, 0, 2 * r)
+    fov_ok = fov[offc[:, 0], offc[:, 1], offc[:, 2]]
+    keep = in_region & fov_ok
+
+    cell = jnp.floor(cent / cfg.search_cell).astype(jnp.int32)
+    bucket = jnp.where(keep, _cell_bucket(cell, B), B)
+    order = jnp.argsort(bucket)
+    bucket_s = bucket[order]
+    xyz_s = cent[order]
+    starts = jnp.searchsorted(bucket_s, jnp.arange(B + 1))
+    return SearchGrid(
+        xyz=xyz_s,
+        bucket_starts=starts.astype(jnp.int32),
+        n_local=jnp.sum(keep.astype(jnp.int32)),
+    )
+
+
+_NEIGHBOR_OFFSETS = None
+
+
+def _neighbor_offsets():
+    global _NEIGHBOR_OFFSETS
+    if _NEIGHBOR_OFFSETS is None:
+        import numpy as np
+
+        _NEIGHBOR_OFFSETS = jnp.asarray(
+            np.stack(
+                np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"),
+                -1,
+            ).reshape(-1, 3),
+            jnp.int32,
+        )
+    return _NEIGHBOR_OFFSETS
+
+
+def knn_search(grid: SearchGrid, q_xyz, q_mask, k: int, cfg: LoamConfig):
+    """k-NN among the 27-cell neighborhood of each query — exact within
+    the reference's 1 m^2 gate (5th-NN sq-dist < 1.0,
+    src/laserMapping.cpp:717-719,824-826).
+
+    Returns (pts (Q, k, 3), d2 (Q, k)) nearest-first.
+    """
+    T = grid.xyz.shape[0]
+    cap = cfg.search_bucket_cap
+    cell = jnp.floor(q_xyz / cfg.search_cell).astype(jnp.int32)
+    cells = cell[:, None, :] + _neighbor_offsets()[None, :, :]  # (Q, 27, 3)
+    buckets = _cell_bucket(cells, cfg.search_buckets)  # (Q, 27)
+    starts = grid.bucket_starts[buckets]
+    ends = grid.bucket_starts[buckets + 1]
+    slots = starts[:, :, None] + jnp.arange(cap)[None, None, :]
+    valid = slots < ends[:, :, None]
+    slots = jnp.clip(slots, 0, T - 1)
+    cand = grid.xyz[slots.reshape(q_xyz.shape[0], -1)]  # (Q, 27*cap, 3)
+    valid = valid.reshape(q_xyz.shape[0], -1) & q_mask[:, None]
+    diff = cand - q_xyz[:, None, :]
+    d2 = jnp.sum(diff * diff, -1)
+    d2 = jnp.where(valid, d2, 1e30)
+    neg, idx = jax.lax.top_k(-d2, k)
+    pts = jnp.take_along_axis(cand, idx[:, :, None], axis=1)
+    return pts, -neg

@@ -1,0 +1,294 @@
+"""Scan-to-map refinement: components C13-C17 of SURVEY.md §2
+(src/laserMapping.cpp).
+
+One pure function ``mapping_step`` replaces the 100 Hz polling node:
+motion-prior composition, sliding-window eviction, FOV-culled local search
+grid, 5-NN line/plane correspondence with eigen line fits and plane
+validity, full-step Gauss-Newton (threshold-100 degeneracy projector),
+pose update, and voxel-hash map insertion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .config import LoamConfig
+from .types import ImuTrans, PointCloud
+from . import map_store
+from .ops import residuals
+from .ops.voxel import voxel_downsample
+from .utils import linalg, rotations
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MapState:
+    corner_map: map_store.VoxelTable
+    surf_map: map_store.VoxelTable
+    transform_bef: jax.Array   # (6,) odometry pose at last mapping frame
+    transform_aft: jax.Array   # (6,) mapped pose at last mapping frame
+    nan_skips: jax.Array       # () int32
+
+    @staticmethod
+    def create(cfg: LoamConfig) -> "MapState":
+        return MapState(
+            corner_map=map_store.VoxelTable.create(cfg.corner_table_size),
+            surf_map=map_store.VoxelTable.create(cfg.surf_table_size),
+            transform_bef=jnp.zeros(6, jnp.float32),
+            transform_aft=jnp.zeros(6, jnp.float32),
+            nan_skips=jnp.array(0, jnp.int32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MapOutput:
+    pose_aft: jax.Array   # (6,) /aft_mapped_to_init equivalent
+    pose_bef: jax.Array   # (6,) the twist-smuggled transformBefMapped
+    solved: jax.Array     # () bool — local map was large enough to match
+
+
+# ---------------------------------------------------------------------------
+# correspondence
+# ---------------------------------------------------------------------------
+
+def _corner_map_residuals(grid, q_body, q_mask, tobe, cfg: LoamConfig):
+    """Corner scan-to-map residual: 5-NN (gate 1 m^2), 3x3 covariance
+    eigendecomposition, line residual against centroid +- 0.1*eigvec if
+    lambda1 > 3*lambda2, weight s = 1 - 0.9|d|
+    (src/laserMapping.cpp:714-819)."""
+    q = rotations.apply_pose(tobe, q_body)
+    pts, d2 = map_store.knn_search(grid, q, q_mask, cfg.map_knn, cfg)
+    gate = q_mask & (d2[:, cfg.map_knn - 1] < cfg.map_nn_gate_sq)
+
+    centroid = jnp.mean(pts, axis=1)
+    centered = pts - centroid[:, None, :]
+    cov = jnp.einsum("qki,qkj->qij", centered, centered) / cfg.map_knn
+    w, V = linalg.eigh3x3(cov)
+    is_line = gate & (w[:, 0] > cfg.map_line_eigen_ratio * w[:, 1])
+
+    v1 = V[:, 0, :]
+    p1 = centroid + cfg.map_line_halflength * v1
+    p2 = centroid - cfg.map_line_halflength * v1
+    direction, d = residuals.point_to_line(q, p1, p2)
+    s = 1.0 - cfg.map_weight_slope * jnp.abs(d)
+    keep = is_line & (s > cfg.weight_keep_threshold)
+    coeff = jnp.where(keep[:, None], s[:, None] * direction, 0.0)
+    rhs = jnp.where(keep, s * d, 0.0)
+    return coeff, rhs, keep
+
+
+def _surf_map_residuals(grid, q_body, q_mask, tobe, cfg: LoamConfig):
+    """Surface scan-to-map residual: 5-NN (gate 1 m^2), least-squares
+    plane fit (A x = -1), 0.2 m off-plane validity check, range-scaled
+    weight (src/laserMapping.cpp:821-877)."""
+    q = rotations.apply_pose(tobe, q_body)
+    pts, d2 = map_store.knn_search(grid, q, q_mask, cfg.map_knn, cfg)
+    gate = q_mask & (d2[:, cfg.map_knn - 1] < cfg.map_nn_gate_sq)
+
+    normal, pd = linalg.fit_plane5(pts)
+    off = jnp.abs(
+        jnp.einsum("qki,qi->qk", pts, normal) + pd[:, None]
+    )
+    plane_valid = jnp.all(off <= cfg.map_plane_tolerance, axis=1)
+
+    d = residuals.point_to_plane(q, normal, pd)
+    range_fac = jnp.sqrt(jnp.sqrt(jnp.maximum(jnp.sum(q * q, -1), 1e-12)))
+    s = 1.0 - cfg.map_weight_slope * jnp.abs(d) / range_fac
+    keep = gate & plane_valid & (s > cfg.weight_keep_threshold)
+    coeff = jnp.where(keep[:, None], s[:, None] * normal, 0.0)
+    rhs = jnp.where(keep, s * d, 0.0)
+    return coeff, rhs, keep
+
+
+def gauss_newton_mapping(tobe0, corner_grid, surf_grid,
+                         corner_stack: PointCloud, surf_stack: PointCloud,
+                         cfg: LoamConfig):
+    """<=10 full-step GN iterations with per-iteration re-association,
+    min-50-correspondence gate, threshold-100 degeneracy projector, and
+    0.05deg/0.05cm convergence (src/laserMapping.cpp:710-975)."""
+
+    init = dict(
+        it=jnp.int32(0),
+        tobe=tobe0,
+        converged=jnp.array(False),
+        P=jnp.eye(6, dtype=jnp.float32),
+        degenerate=jnp.array(False),
+        have_P=jnp.array(False),
+        nan_skip=jnp.int32(0),
+    )
+
+    def cond(c):
+        return (c["it"] < cfg.map_max_iters) & ~c["converged"]
+
+    def body(c):
+        tobe = c["tobe"]
+        coeff_c, rhs_c, keep_c = _corner_map_residuals(
+            corner_grid, corner_stack.xyz, corner_stack.mask, tobe, cfg
+        )
+        coeff_s, rhs_s, keep_s = _surf_map_residuals(
+            surf_grid, surf_stack.xyz, surf_stack.mask, tobe, cfg
+        )
+        points = jnp.concatenate([corner_stack.xyz, surf_stack.xyz])
+        coeffs = jnp.concatenate([coeff_c, coeff_s])
+        rhs = jnp.concatenate([rhs_c, rhs_s])
+        keep = jnp.concatenate([keep_c, keep_s])
+        n_sel = jnp.sum(keep.astype(jnp.int32))
+        enough = n_sel >= cfg.map_min_correspondences
+
+        rows = residuals.map_jacobian_rows(points, coeffs, tobe)
+        ata, atb = residuals.normal_equations(rows, -rhs, keep)
+        x = linalg.solve_sym6(ata, atb)
+
+        def mk_P(_):
+            return linalg.degeneracy_projector(
+                ata, cfg.map_degen_eigen_threshold
+            )
+
+        need_P = enough & ~c["have_P"]
+        P, degenerate = jax.lax.cond(
+            need_P, mk_P, lambda _: (c["P"], c["degenerate"]), None
+        )
+        have_P = c["have_P"] | need_P
+        x = jnp.where(degenerate, P @ x, x)
+
+        is_nan = jnp.any(jnp.isnan(x)) | jnp.any(jnp.isinf(x))
+        x = jnp.where(is_nan, 0.0, x)
+        do_update = enough & ~is_nan
+        new_tobe = jnp.where(do_update, tobe + x, tobe)
+
+        delta_r = jnp.sqrt(jnp.sum(jnp.square(jnp.degrees(x[:3]))))
+        delta_t = jnp.sqrt(jnp.sum(jnp.square(x[3:] * 100.0)))
+        converged = do_update & (
+            (delta_r < cfg.map_delta_r_break_deg)
+            & (delta_t < cfg.map_delta_t_break_cm)
+        )
+        return dict(
+            it=c["it"] + 1,
+            tobe=new_tobe,
+            converged=converged,
+            P=P,
+            degenerate=degenerate,
+            have_P=have_P,
+            nan_skip=c["nan_skip"] + (is_nan & enough).astype(jnp.int32),
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out["tobe"], out["nan_skip"]
+
+
+# ---------------------------------------------------------------------------
+# the mapping frame
+# ---------------------------------------------------------------------------
+
+def _downsample_cloud(cloud: PointCloud, leaf, cap):
+    xyz, rel, m = voxel_downsample(cloud.xyz, cloud.mask, leaf, cap,
+                                   extra=cloud.rel)
+    return PointCloud(xyz=xyz, rel=rel, mask=m)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mapping_step(state: MapState, pose_sum, corner_last: PointCloud,
+                 surf_last: PointCloud,
+                 imu_rpy: jax.Array | None = None,
+                 cfg: LoamConfig = LoamConfig()):
+    """One mapping frame (src/laserMapping.cpp:408-1096).
+
+    pose_sum: the odometry pose /laser_odom_to_init for this frame.
+    corner_last/surf_last: the odometry's end-projected feature clouds.
+    imu_rpy: optional (2,) [pitch, roll] for the 0.998/0.002 blend.
+    Returns (new_state, MapOutput).
+    """
+    # motion prior: re-apply the last mapping correction to the new
+    # odometry pose (src/laserMapping.cpp:110-197,422)
+    tobe = rotations.transform_associate_to_map(
+        pose_sum, state.transform_bef, state.transform_aft
+    )
+
+    # incoming stacks, downsampled in body frame
+    # (src/laserMapping.cpp:693-701)
+    corner_stack = _downsample_cloud(
+        corner_last, cfg.map_corner_leaf, cfg.max_corner_stack
+    )
+    surf_stack = _downsample_cloud(
+        surf_last, cfg.map_surf_leaf, cfg.max_surf_stack
+    )
+
+    center_cube = jnp.floor((tobe[3:] + 25.0) / 50.0).astype(jnp.int32)
+
+    corner_map = map_store.evict_outside_window(
+        state.corner_map, center_cube, cfg
+    )
+    surf_map = map_store.evict_outside_window(state.surf_map, center_cube, cfg)
+
+    fov = map_store.local_cube_fov(center_cube, tobe, cfg)
+    corner_grid = map_store.build_search_grid(corner_map, center_cube, fov, cfg)
+    surf_grid = map_store.build_search_grid(surf_map, center_cube, fov, cfg)
+
+    can_solve = (corner_grid.n_local > cfg.map_min_corner_from_map) & (
+        surf_grid.n_local > cfg.map_min_surf_from_map
+    )
+    tobe, nan_skip = jax.lax.cond(
+        can_solve,
+        lambda t: gauss_newton_mapping(
+            t, corner_grid, surf_grid, corner_stack, surf_stack, cfg
+        ),
+        lambda t: (t, jnp.int32(0)),
+        tobe,
+    )
+
+    # transformUpdate: optional IMU roll/pitch blend, record bef/aft pair
+    # (src/laserMapping.cpp:199-232)
+    if imu_rpy is not None:
+        tobe = tobe.at[0].set(
+            (1.0 - cfg.imu_blend) * tobe[0] + cfg.imu_blend * imu_rpy[0]
+        )
+        tobe = tobe.at[2].set(
+            (1.0 - cfg.imu_blend) * tobe[2] + cfg.imu_blend * imu_rpy[1]
+        )
+
+    # insert the stacks with the refined pose
+    # (src/laserMapping.cpp:980-1036)
+    def insert(table, stack, leaf, agg_cap):
+        world = rotations.apply_pose(tobe, stack.xyz)
+        hi, lo, sums, cnts, valid = map_store.aggregate_by_voxel(
+            world, stack.mask, leaf, agg_cap
+        )
+        return map_store.table_insert(table, hi, lo, sums, cnts, valid, cfg)
+
+    corner_map = insert(
+        corner_map, corner_stack, cfg.map_corner_leaf, cfg.max_corner_stack
+    )
+    surf_map = insert(
+        surf_map, surf_stack, cfg.map_surf_leaf, cfg.max_surf_stack
+    )
+
+    new_state = MapState(
+        corner_map=corner_map,
+        surf_map=surf_map,
+        transform_bef=pose_sum,
+        transform_aft=tobe,
+        nan_skips=state.nan_skips + nan_skip,
+    )
+    return new_state, MapOutput(
+        pose_aft=tobe, pose_bef=pose_sum, solved=can_solve
+    )
+
+
+def surround_cloud(state: MapState, cap: int = 65536):
+    """The ~1 Hz map visualization cloud (/laser_cloud_surround,
+    src/laserMapping.cpp:1038-1058): all live map centroids, compacted."""
+    def extract(table, n):
+        live = table.live()
+        order = jnp.argsort(~live)[:n]
+        return table.centroids()[order], live[order]
+
+    cx, cm = extract(state.corner_map, cap // 4)
+    sx, sm = extract(state.surf_map, cap - cap // 4)
+    xyz = jnp.concatenate([cx, sx])
+    mask = jnp.concatenate([cm, sm])
+    return PointCloud(xyz=xyz, rel=jnp.zeros(xyz.shape[0]), mask=mask)

@@ -1,0 +1,142 @@
+"""Full-pipeline replay: the four reference processes as one program.
+
+The reference runs scanRegistration -> laserOdometry -> laserMapping ->
+transformMaintenance as rate-decoupled ROS nodes with 5 ms sync gates
+(SURVEY.md §1).  Here the sweep-independent frontend (ingest + feature
+extraction) is *batched over frames* with vmap — embarrassingly parallel,
+so it fills the TPU — while the inherently recurrent odometry/mapping core
+runs as a lax.scan.  The skip-frame cadence (mapping at every 2nd frame,
+src/laserOdometry.cpp:51) is a lax.cond inside the scan; sync gates vanish
+because data dependencies are explicit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .config import LoamConfig
+from .types import FeatureClouds, ImuTrans
+from . import frontend, odometry, mapping
+from .ops.features import extract_features
+from .utils import rotations
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PipelineState:
+    odom: odometry.OdomState
+    map: mapping.MapState
+
+    @staticmethod
+    def create(cfg: LoamConfig) -> "PipelineState":
+        return PipelineState(
+            odom=odometry.OdomState.create(cfg),
+            map=mapping.MapState.create(cfg),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameOutput:
+    pose_odom: jax.Array       # (6,) /laser_odom_to_init
+    pose_aft: jax.Array        # (6,) /aft_mapped_to_init (latest)
+    pose_integrated: jax.Array  # (6,) /integrated_to_init
+    mapped: jax.Array          # () bool — mapping ran this frame
+
+
+def pipeline_step(state: PipelineState, feats: FeatureClouds,
+                  imu: ImuTrans | None, cfg: LoamConfig):
+    """One frame through odometry -> (every 2nd frame) mapping ->
+    integration."""
+    odom_state, odom_out = odometry.odometry_step(state.odom, feats, imu, cfg)
+
+    def run_mapping(ms):
+        imu_rpy = None if imu is None else jnp.stack(
+            [imu.rpy_cur[0], imu.rpy_cur[2]]
+        )
+        return mapping.mapping_step(
+            ms, odom_out.pose, odom_out.corner_last, odom_out.surf_last,
+            imu_rpy, cfg,
+        )
+
+    def skip_mapping(ms):
+        return ms, mapping.MapOutput(
+            pose_aft=ms.transform_aft,
+            pose_bef=ms.transform_bef,
+            solved=jnp.array(False),
+        )
+
+    map_state, map_out = jax.lax.cond(
+        odom_out.publish_to_mapping, run_mapping, skip_mapping, state.map
+    )
+
+    # transformMaintenance (src/transformMaintenance.cpp:147-180): re-apply
+    # the latest mapping correction to the 10 Hz odometry pose
+    integrated = rotations.transform_associate_to_map(
+        odom_out.pose, map_state.transform_bef, map_state.transform_aft
+    )
+
+    new_state = PipelineState(odom=odom_state, map=map_state)
+    out = FrameOutput(
+        pose_odom=odom_out.pose,
+        pose_aft=map_state.transform_aft,
+        pose_integrated=integrated,
+        mapped=odom_out.publish_to_mapping,
+    )
+    return new_state, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_imu"))
+def replay_sweeps(raw_xyz, raw_mask, cfg: LoamConfig = LoamConfig(),
+                  imu_trans: ImuTrans | None = None, with_imu: bool = False):
+    """Sequential replay of a sweep sequence.
+
+    raw_xyz: (F, N, 3) raw Velodyne clouds; raw_mask: (F, N).
+    imu_trans: optional per-frame ImuTrans with leading F axis.
+
+    The frontend runs vmapped over all frames at once; the recurrent core
+    is a lax.scan.  Returns FrameOutput with leading F axis.
+    """
+    sweeps = jax.vmap(lambda x, m: frontend.ingest_sweep(x, m, cfg))(
+        raw_xyz, raw_mask
+    )
+    feats = jax.vmap(lambda s: extract_features(s, cfg))(sweeps)
+
+    state0 = PipelineState.create(cfg)
+
+    if with_imu and imu_trans is not None:
+        def step(state, inp):
+            f, it = inp
+            return pipeline_step(state, f, it, cfg)
+
+        _, outs = jax.lax.scan(step, state0, (feats, imu_trans))
+    else:
+        def step(state, f):
+            return pipeline_step(state, f, None, cfg)
+
+        _, outs = jax.lax.scan(step, state0, feats)
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_imu"))
+def replay_features(feats: FeatureClouds, cfg: LoamConfig = LoamConfig(),
+                    imu_trans: ImuTrans | None = None, with_imu: bool = False):
+    """Replay from pre-extracted features (leading F axis) — the scan-only
+    core, used by benchmarks to time the recurrent stages separately."""
+    state0 = PipelineState.create(cfg)
+    if with_imu and imu_trans is not None:
+        def step(state, inp):
+            f, it = inp
+            return pipeline_step(state, f, it, cfg)
+
+        _, outs = jax.lax.scan(step, state0, (feats, imu_trans))
+    else:
+        def step(state, f):
+            return pipeline_step(state, f, None, cfg)
+
+        _, outs = jax.lax.scan(step, state0, feats)
+    return outs
