@@ -86,10 +86,32 @@ def unwrap_azimuth(ori, mask):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def ingest_sweep(xyz_velo, mask, cfg: LoamConfig = LoamConfig()) -> Sweep:
+def ingest_sweep(xyz_velo, mask, cfg: LoamConfig = LoamConfig(),
+                 imu_stream=None, imu_integ=None, t_scan=None) -> Sweep:
     """Organize one raw sweep (N, 3) + validity mask into a ring-major
     Sweep with the ring + scanPeriod*relTime channel
-    (src/scanRegistration.cpp:283-284, :350-357)."""
+    (src/scanRegistration.cpp:283-284, :350-357).
+
+    With an IMU stream attached, each point is additionally transformed
+    into the sweep-start IMU frame (the reference's per-point
+    ShiftToStartIMU/TransformToStartIMU deskew, :286-347).  Ring ids and
+    azimuth times are computed from the raw geometry first, exactly as the
+    reference does.  Use ``ingest_sweep_imu`` to also get the ImuTrans.
+    """
+    sweep, _ = ingest_sweep_imu(
+        xyz_velo, mask, cfg, imu_stream, imu_integ, t_scan
+    )
+    return sweep
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ingest_sweep_imu(xyz_velo, mask, cfg: LoamConfig = LoamConfig(),
+                     imu_stream=None, imu_integ=None, t_scan=None):
+    """ingest_sweep + the per-sweep ImuTrans summary
+    (src/scanRegistration.cpp:614-629).  Returns (Sweep, ImuTrans)."""
+    from . import imu as imu_mod
+    from .types import ImuTrans
+
     xyz = velodyne_to_internal(xyz_velo.astype(jnp.float32))
     scan_id, ring_ok = ring_id(xyz, cfg.n_scans)
     valid = mask & ring_ok
@@ -104,6 +126,17 @@ def ingest_sweep(xyz_velo, mask, cfg: LoamConfig = LoamConfig()) -> Sweep:
     span = jnp.where(jnp.abs(end - start) < 1e-6, 2 * jnp.pi, end - start)
     rel_time = (unwrapped - start) / span
     rel = scan_id.astype(jnp.float32) + cfg.scan_period * rel_time
+
+    if imu_stream is not None:
+        s_imu = imu_mod.sweep_state(
+            imu_stream, imu_integ, t_scan, rel_time, valid, cfg
+        )
+        deskewed = imu_mod.deskew_points(xyz, s_imu)
+        use = s_imu.valid & valid
+        xyz = jnp.where(use[..., None], deskewed, xyz)
+        imu_trans = imu_mod.imu_trans(s_imu)
+    else:
+        imu_trans = ImuTrans.zeros()
 
     # ring-major scatter: stable sort by ring, then place each point at
     # its within-ring arrival rank
@@ -131,8 +164,9 @@ def ingest_sweep(xyz_velo, mask, cfg: LoamConfig = LoamConfig()) -> Sweep:
     out_xyz = out_xyz.at[flat_idx].set(xyz[order])
     out_rel = out_rel.at[flat_idx].set(rel[order])
     out_mask = out_mask.at[flat_idx].set(ok_s)
-    return Sweep(
+    sweep = Sweep(
         xyz=out_xyz[:-1].reshape(cfg.n_scans, W, 3),
         rel=out_rel[:-1].reshape(cfg.n_scans, W),
         mask=out_mask[:-1].reshape(cfg.n_scans, W),
     )
+    return sweep, imu_trans

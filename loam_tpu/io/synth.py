@@ -177,6 +177,121 @@ def simulate_sweep(
     return xyz_velo.astype(np.float32), valid
 
 
+def simulate_sweep_traj(
+    world: World,
+    pose_fn,
+    t0: float,
+    scan_period: float = 0.1,
+    n_azimuth: int = 900,
+    noise: float = 0.005,
+    max_range: float = 80.0,
+    seed: int = 0,
+):
+    """Like simulate_sweep but with an arbitrary (possibly nonlinear)
+    continuous trajectory ``pose_fn(t) -> pose6``; each firing samples the
+    exact pose at its timestamp, so intra-sweep acceleration distorts the
+    cloud the way a real moving sensor would."""
+    n_rings = VLP16_ELEVATIONS_DEG.shape[0]
+    f_grid = np.repeat(np.arange(n_azimuth) / n_azimuth, n_rings)
+    times = t0 + f_grid * scan_period
+    poses = np.stack([pose_fn(t) for t in np.unique(times)])
+    # map each point to its azimuth step pose
+    step = np.repeat(np.arange(n_azimuth), n_rings)
+    poses_pt = poses[step]
+
+    rng = np.random.default_rng(seed)
+    elev = np.deg2rad(VLP16_ELEVATIONS_DEG)
+    az = (2 * np.pi) * (np.arange(n_azimuth) / n_azimuth)
+    a_grid = np.repeat(az, n_rings)
+    e_grid = np.tile(elev, n_azimuth)
+    ce, se = np.cos(e_grid), np.sin(e_grid)
+    ca, sa = np.cos(a_grid), np.sin(a_grid)
+    dir_body = np.stack([ce * sa, se, ce * ca], axis=1)
+
+    origins = poses_pt[:, 3:6]
+    rx, ry, rz = poses_pt[:, 0], poses_pt[:, 1], poses_pt[:, 2]
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    bx, by, bz = dir_body[:, 0], dir_body[:, 1], dir_body[:, 2]
+    x1 = cz * bx - sz * by
+    y1 = sz * bx + cz * by
+    z1 = bz
+    y2 = cx * y1 - sx * z1
+    z2 = sx * y1 + cx * z1
+    dirs_w = np.stack([cy * x1 + sy * z2, y2, -sy * x1 + cy * z2], axis=1)
+
+    t_room = _ray_room_exit(origins, dirs_w, world.room_min, world.room_max)
+    t_box = _ray_boxes_enter(origins, dirs_w, world.boxes_min, world.boxes_max)
+    t = np.minimum(t_room, t_box)
+    valid = np.isfinite(t) & (t > 0.3) & (t < max_range)
+    t = np.where(valid, t, 1.0)
+    if noise > 0:
+        t = t + rng.normal(0, noise, t.shape)
+    pb = t[:, None] * dir_body
+    xyz_velo = np.stack([pb[:, 2], pb[:, 0], pb[:, 1]], axis=1)
+    return xyz_velo.astype(np.float32), valid
+
+
+def simulate_imu_window(
+    pose_fn,
+    t0: float,
+    scan_period: float = 0.1,
+    rate: float = 200.0,
+    capacity: int = 64,
+    margin: float = 0.03,
+):
+    """Synthesize one sweep's window of IMU samples from the continuous
+    trajectory: exact orientation (pitch, yaw, roll) == (rx, ry, rz), and
+    body-frame coordinate acceleration a_b = R^T a_world from central
+    differences — what the reference's imuHandler produces after gravity
+    removal (src/scanRegistration.cpp:643-647).
+
+    Returns (t (C,), rpy (C,3), acc (C,3), mask (C,)) numpy arrays.
+    """
+    ts = np.arange(t0 - margin, t0 + scan_period + margin, 1.0 / rate)
+    ts = ts[:capacity]
+    n = ts.shape[0]
+    h = 1e-3
+    rpy = np.zeros((capacity, 3))
+    acc = np.zeros((capacity, 3))
+    for i, t in enumerate(ts):
+        p = pose_fn(t)
+        rpy[i] = p[:3]
+        a_w = (pose_fn(t + h)[3:6] - 2 * p[3:6] + pose_fn(t - h)[3:6]) / h**2
+        R, _ = _pose_matrix(p)
+        acc[i] = R.T @ a_w
+    t_out = np.zeros(capacity)
+    t_out[:n] = ts
+    mask = np.zeros(capacity, bool)
+    mask[:n] = True
+    return (
+        t_out.astype(np.float32),
+        rpy.astype(np.float32),
+        acc.astype(np.float32),
+        mask,
+    )
+
+
+def accel_trajectory(speed_amp: float = 1.5, period: float = 0.8,
+                     yaw_amp: float = 0.0, yaw_period: float = 1.0):
+    """A smooth trajectory with strong intra-sweep acceleration:
+    z(t) with sinusoidally varying speed (and optional yaw oscillation) —
+    the gates_oscillating_motion analogue.  Returns pose_fn(t)."""
+    w = 2 * np.pi / period
+    wy = 2 * np.pi / yaw_period
+
+    def pose_fn(t):
+        p = np.zeros(6)
+        # position: integral of speed_amp * sin^2-ish profile
+        p[5] = speed_amp * (t / 2 - np.sin(2 * w * t) / (4 * w))
+        if yaw_amp:
+            p[1] = yaw_amp * np.sin(wy * t)
+        return p
+
+    return pose_fn
+
+
 def straight_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.0,
                         scan_period: float = 0.1):
     """Ground-truth internal-frame poses for a constant-twist trajectory.

@@ -303,22 +303,14 @@ def build_search_grid(table: VoxelTable, center_cube, fov, cfg: LoamConfig
     )
 
 
-_NEIGHBOR_OFFSETS = None
-
-
 def _neighbor_offsets():
-    global _NEIGHBOR_OFFSETS
-    if _NEIGHBOR_OFFSETS is None:
-        import numpy as np
+    # plain numpy constant: jnp caching here would capture a tracer when
+    # first called inside a traced while_loop body
+    import numpy as np
 
-        _NEIGHBOR_OFFSETS = jnp.asarray(
-            np.stack(
-                np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"),
-                -1,
-            ).reshape(-1, 3),
-            jnp.int32,
-        )
-    return _NEIGHBOR_OFFSETS
+    return np.stack(
+        np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.int32)
 
 
 def knn_search(grid: SearchGrid, q_xyz, q_mask, k: int, cfg: LoamConfig):

@@ -92,9 +92,12 @@ def normal_equations(rows, rhs, keep):
     """Masked JtJ / Jtb accumulation (src/laserOdometry.cpp:765-767).
 
     rows (N, 6), rhs (N,), keep (N,) bool.  The masked matmuls run on the
-    MXU; with rows sharded over devices this is followed by a psum
-    (parallel/replay.py).
+    MXU; under parallel.context.row_sharding the row axis is sharded over
+    the mesh and GSPMD turns the JtJ/Jtb contraction into a psum over ICI.
     """
+    from ..parallel.context import constrain_rows
+
+    rows = constrain_rows(rows)
     w = keep.astype(rows.dtype)
     rows_m = rows * w[:, None]
     ata = rows_m.T @ rows_m

@@ -90,35 +90,44 @@ def pipeline_step(state: PipelineState, feats: FeatureClouds,
     return new_state, out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_imu"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def replay_sweeps(raw_xyz, raw_mask, cfg: LoamConfig = LoamConfig(),
-                  imu_trans: ImuTrans | None = None, with_imu: bool = False):
+                  imu_streams=None, t_scans=None):
     """Sequential replay of a sweep sequence.
 
     raw_xyz: (F, N, 3) raw Velodyne clouds; raw_mask: (F, N).
-    imu_trans: optional per-frame ImuTrans with leading F axis.
+    imu_streams: optional per-frame ImuStream (leading F axis) — each
+    frame's slice of the IMU circular buffer; t_scans: (F,) sweep start
+    times.  With IMU attached, the frontend deskews each point into the
+    sweep-start IMU frame and the odometry/mapping consume the per-sweep
+    ImuTrans (SURVEY.md §2 C2/C3/C10/C16).
 
     The frontend runs vmapped over all frames at once; the recurrent core
     is a lax.scan.  Returns FrameOutput with leading F axis.
     """
-    sweeps = jax.vmap(lambda x, m: frontend.ingest_sweep(x, m, cfg))(
-        raw_xyz, raw_mask
-    )
+    if imu_streams is not None:
+        from . import imu as imu_mod
+
+        integ = jax.vmap(lambda s: imu_mod.integrate(s, cfg))(imu_streams)
+        sweeps, imu_trans = jax.vmap(
+            lambda x, m, s, g, t: frontend.ingest_sweep_imu(
+                x, m, cfg, s, g, t
+            )
+        )(raw_xyz, raw_mask, imu_streams, integ, t_scans)
+    else:
+        sweeps, imu_trans = jax.vmap(
+            lambda x, m: frontend.ingest_sweep_imu(x, m, cfg)
+        )(raw_xyz, raw_mask)
     feats = jax.vmap(lambda s: extract_features(s, cfg))(sweeps)
 
     state0 = PipelineState.create(cfg)
+    use_imu = imu_streams is not None
 
-    if with_imu and imu_trans is not None:
-        def step(state, inp):
-            f, it = inp
-            return pipeline_step(state, f, it, cfg)
+    def step(state, inp):
+        f, it = inp
+        return pipeline_step(state, f, it if use_imu else None, cfg)
 
-        _, outs = jax.lax.scan(step, state0, (feats, imu_trans))
-    else:
-        def step(state, f):
-            return pipeline_step(state, f, None, cfg)
-
-        _, outs = jax.lax.scan(step, state0, feats)
+    _, outs = jax.lax.scan(step, state0, (feats, imu_trans))
     return outs
 
 
