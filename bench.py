@@ -8,29 +8,36 @@ work the reference performs at 10 Hz on ~2 CPU cores (BASELINE.md).
 vs_baseline is the speedup over that 10 scan-matches/sec envelope.
 
 Scenario-batched (DP) replay fills the chip: B independent synthetic
-sequences replayed in lockstep via vmap, frames advancing in a lax.scan.
+sequences advance in lockstep through one jitted vmapped pipeline step
+(host frame loop — compile once, reuse every frame; the persistent
+compilation cache makes reruns start fast).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/loam_jax_cache")
+
 
 def main():
     import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from loam_tpu.config import LoamConfig
     from loam_tpu.io import synth
-    from loam_tpu import pipeline
-    from loam_tpu.parallel import replay as preplay
+    from loam_tpu import frontend, pipeline
+    from loam_tpu.ops.features import extract_features
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     F = int(sys.argv[2]) if len(sys.argv) > 2 else 24
 
     cfg = dataclasses.replace(
@@ -67,26 +74,35 @@ def main():
     raw = jnp.asarray(np.stack(raws))
     msk = jnp.asarray(np.stack(msks))
 
-    # frontend (vmapped over B*F) is not the recurrent bottleneck; run it
-    # once and time the estimation core separately, like the reference's
-    # odometry/mapping stages dominate its 2 cores
-    feats = preplay.batched_frontend(raw, msk, cfg)
-    jax.block_until_ready(feats)
-
-    replay = jax.jit(
-        jax.vmap(lambda f: pipeline.replay_features(f, cfg))
+    # frontend: one compile for a (B,) batch of sweeps, host loop over F
+    front = jax.jit(
+        jax.vmap(
+            lambda x, m: extract_features(
+                frontend.ingest_sweep(x, m, cfg), cfg
+            )
+        )
     )
-    out = replay(feats)  # compile + warm
+    feats_frames = [front(raw[:, k], msk[:, k]) for k in range(F)]
+    jax.block_until_ready(feats_frames[-1])
+
+    # estimation core: one compile of the batched step, host frame loop
+    step = jax.jit(
+        jax.vmap(lambda s, f: pipeline.pipeline_step(s, f, None, cfg))
+    )
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+        pipeline.PipelineState.create(cfg),
+    )
+    state, out = step(state, feats_frames[0])  # compile + warm
     jax.block_until_ready(out)
 
-    reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = replay(feats)
+    for k in range(1, F):
+        state, out = step(state, feats_frames[k])
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    dt = time.perf_counter() - t0
 
-    matches_per_sec = B * F / dt
+    matches_per_sec = B * (F - 1) / dt
     n_chips = max(
         1, len([d for d in jax.devices() if d.platform != "cpu"]) or 1
     )

@@ -162,6 +162,10 @@ class LoamConfig:
     search_cell: float = 1.0
     search_buckets: int = 1 << 14
     search_bucket_cap: int = 32
+    # cached NN candidates per query: the 27-cell gather runs once per
+    # mapping frame; GN iterations re-rank this top-K cache (a superset of
+    # the gated 5-NN for millimetric per-iteration pose updates)
+    knn_candidates: int = 24
     # local map assembly caps (5x5x5 cube neighborhood concatenation,
     # src/laserMapping.cpp:674-679)
     max_corner_from_map: int = 32768

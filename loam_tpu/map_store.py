@@ -262,9 +262,16 @@ def local_cube_fov(center_cube, tobe, cfg: LoamConfig):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SearchGrid:
-    xyz: jax.Array          # (T, 3) entries sorted by cell bucket
-    bucket_starts: jax.Array  # (B + 1,) int32 CSR offsets
-    n_local: jax.Array      # () int32 — live entries in the local region
+    """Dense-bucketed per-frame search grid.
+
+    Buckets are materialized as fixed-width rows so a query's 27-cell
+    neighborhood gathers as 27 contiguous (cap, 3) blocks — an order of
+    magnitude fewer (and wider) HBM transactions than element gathers.
+    """
+
+    xyz: jax.Array      # (B, cap, 3) bucket-major candidate coordinates
+    valid: jax.Array    # (B, cap) slot validity
+    n_local: jax.Array  # () int32 — live entries in the local region
 
 
 def _cell_bucket(cell, n_buckets):
@@ -295,10 +302,18 @@ def build_search_grid(table: VoxelTable, center_cube, fov, cfg: LoamConfig
     order = jnp.argsort(bucket)
     bucket_s = bucket[order]
     xyz_s = cent[order]
-    starts = jnp.searchsorted(bucket_s, jnp.arange(B + 1))
+    starts = jnp.searchsorted(bucket_s, jnp.arange(B + 1)).astype(jnp.int32)
+    cap = cfg.search_bucket_cap
+    rank = jnp.arange(bucket_s.shape[0], dtype=jnp.int32) - starts[
+        jnp.clip(bucket_s, 0, B)
+    ]
+    ok = (bucket_s < B) & (rank < cap)
+    slot = jnp.where(ok, bucket_s * cap + rank, B * cap)
+    dense = jnp.zeros((B * cap + 1, 3), jnp.float32).at[slot].set(xyz_s)
+    dvalid = jnp.zeros((B * cap + 1,), bool).at[slot].set(ok)
     return SearchGrid(
-        xyz=xyz_s,
-        bucket_starts=starts.astype(jnp.int32),
+        xyz=dense[:-1].reshape(B, cap, 3),
+        valid=dvalid[:-1].reshape(B, cap),
         n_local=jnp.sum(keep.astype(jnp.int32)),
     )
 
@@ -320,21 +335,47 @@ def knn_search(grid: SearchGrid, q_xyz, q_mask, k: int, cfg: LoamConfig):
 
     Returns (pts (Q, k, 3), d2 (Q, k)) nearest-first.
     """
-    T = grid.xyz.shape[0]
+    cand, valid = knn_candidates(grid, q_xyz, q_mask, k, cfg)
+    return knn_from_candidates(cand, valid, q_xyz, k)
+
+
+def knn_candidates(grid: SearchGrid, q_xyz, q_mask, k: int,
+                   cfg: LoamConfig):
+    """Gather the k nearest 27-cell-neighborhood candidates per query.
+
+    This is the expensive gather.  The GN solvers call it ONCE per frame
+    at the motion-prior pose and re-rank the cached candidates each
+    iteration (knn_from_candidates) — valid because per-iteration pose
+    updates are millimetric while candidates span the full 1 m gate, so
+    the cached top-k(cand) remains a superset of the true 5-NN.  (The
+    reference instead re-queries its kd-trees every iteration,
+    src/laserMapping.cpp:717,824.)
+
+    Returns (cand (Q, k, 3), cand_valid (Q, k)).
+    """
+    Q = q_xyz.shape[0]
     cap = cfg.search_bucket_cap
     cell = jnp.floor(q_xyz / cfg.search_cell).astype(jnp.int32)
-    cells = cell[:, None, :] + _neighbor_offsets()[None, :, :]  # (Q, 27, 3)
+    cells = cell[:, None, :] + jnp.asarray(_neighbor_offsets())[None, :, :]
     buckets = _cell_bucket(cells, cfg.search_buckets)  # (Q, 27)
-    starts = grid.bucket_starts[buckets]
-    ends = grid.bucket_starts[buckets + 1]
-    slots = starts[:, :, None] + jnp.arange(cap)[None, None, :]
-    valid = slots < ends[:, :, None]
-    slots = jnp.clip(slots, 0, T - 1)
-    cand = grid.xyz[slots.reshape(q_xyz.shape[0], -1)]  # (Q, 27*cap, 3)
-    valid = valid.reshape(q_xyz.shape[0], -1) & q_mask[:, None]
+    cand = grid.xyz[buckets].reshape(Q, 27 * cap, 3)   # contiguous rows
+    valid = grid.valid[buckets].reshape(Q, 27 * cap) & q_mask[:, None]
     diff = cand - q_xyz[:, None, :]
     d2 = jnp.sum(diff * diff, -1)
     d2 = jnp.where(valid, d2, 1e30)
+    neg, idx = jax.lax.top_k(-d2, k)
+    pts = jnp.take_along_axis(cand, idx[:, :, None], axis=1)
+    return pts, -neg < 1e29
+
+
+def knn_from_candidates(cand, cand_valid, q_xyz, k: int):
+    """k-NN of each query within its cached candidate set.
+
+    cand (Q, C, 3), cand_valid (Q, C); returns (pts (Q, k, 3), d2 (Q, k))
+    nearest-first."""
+    diff = cand - q_xyz[:, None, :]
+    d2 = jnp.sum(diff * diff, -1)
+    d2 = jnp.where(cand_valid, d2, 1e30)
     neg, idx = jax.lax.top_k(-d2, k)
     pts = jnp.take_along_axis(cand, idx[:, :, None], axis=1)
     return pts, -neg

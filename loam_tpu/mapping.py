@@ -56,13 +56,15 @@ class MapOutput:
 # correspondence
 # ---------------------------------------------------------------------------
 
-def _corner_map_residuals(grid, q_body, q_mask, tobe, cfg: LoamConfig):
+def _corner_map_residuals(cand, cand_valid, q_body, q_mask, tobe,
+                          cfg: LoamConfig):
     """Corner scan-to-map residual: 5-NN (gate 1 m^2), 3x3 covariance
     eigendecomposition, line residual against centroid +- 0.1*eigvec if
     lambda1 > 3*lambda2, weight s = 1 - 0.9|d|
-    (src/laserMapping.cpp:714-819)."""
+    (src/laserMapping.cpp:714-819).  NN comes from the per-frame cached
+    candidate sets (map_store.knn_candidates)."""
     q = rotations.apply_pose(tobe, q_body)
-    pts, d2 = map_store.knn_search(grid, q, q_mask, cfg.map_knn, cfg)
+    pts, d2 = map_store.knn_from_candidates(cand, cand_valid, q, cfg.map_knn)
     gate = q_mask & (d2[:, cfg.map_knn - 1] < cfg.map_nn_gate_sq)
 
     centroid = jnp.mean(pts, axis=1)
@@ -82,12 +84,13 @@ def _corner_map_residuals(grid, q_body, q_mask, tobe, cfg: LoamConfig):
     return coeff, rhs, keep
 
 
-def _surf_map_residuals(grid, q_body, q_mask, tobe, cfg: LoamConfig):
+def _surf_map_residuals(cand, cand_valid, q_body, q_mask, tobe,
+                        cfg: LoamConfig):
     """Surface scan-to-map residual: 5-NN (gate 1 m^2), least-squares
     plane fit (A x = -1), 0.2 m off-plane validity check, range-scaled
-    weight (src/laserMapping.cpp:821-877)."""
+    weight (src/laserMapping.cpp:821-877).  NN from cached candidates."""
     q = rotations.apply_pose(tobe, q_body)
-    pts, d2 = map_store.knn_search(grid, q, q_mask, cfg.map_knn, cfg)
+    pts, d2 = map_store.knn_from_candidates(cand, cand_valid, q, cfg.map_knn)
     gate = q_mask & (d2[:, cfg.map_knn - 1] < cfg.map_nn_gate_sq)
 
     normal, pd = linalg.fit_plane5(pts)
@@ -110,7 +113,18 @@ def gauss_newton_mapping(tobe0, corner_grid, surf_grid,
                          cfg: LoamConfig):
     """<=10 full-step GN iterations with per-iteration re-association,
     min-50-correspondence gate, threshold-100 degeneracy projector, and
-    0.05deg/0.05cm convergence (src/laserMapping.cpp:710-975)."""
+    0.05deg/0.05cm convergence (src/laserMapping.cpp:710-975).
+
+    The 27-cell candidate gather runs once at the prior pose; iterations
+    re-rank the cached candidates (see map_store.knn_candidates)."""
+    qc0 = rotations.apply_pose(tobe0, corner_stack.xyz)
+    cand_c, valid_c = map_store.knn_candidates(
+        corner_grid, qc0, corner_stack.mask, cfg.knn_candidates, cfg
+    )
+    qs0 = rotations.apply_pose(tobe0, surf_stack.xyz)
+    cand_s, valid_s = map_store.knn_candidates(
+        surf_grid, qs0, surf_stack.mask, cfg.knn_candidates, cfg
+    )
 
     init = dict(
         it=jnp.int32(0),
@@ -128,10 +142,10 @@ def gauss_newton_mapping(tobe0, corner_grid, surf_grid,
     def body(c):
         tobe = c["tobe"]
         coeff_c, rhs_c, keep_c = _corner_map_residuals(
-            corner_grid, corner_stack.xyz, corner_stack.mask, tobe, cfg
+            cand_c, valid_c, corner_stack.xyz, corner_stack.mask, tobe, cfg
         )
         coeff_s, rhs_s, keep_s = _surf_map_residuals(
-            surf_grid, surf_stack.xyz, surf_stack.mask, tobe, cfg
+            cand_s, valid_s, surf_stack.xyz, surf_stack.mask, tobe, cfg
         )
         points = jnp.concatenate([corner_stack.xyz, surf_stack.xyz])
         coeffs = jnp.concatenate([coeff_c, coeff_s])

@@ -15,8 +15,13 @@ os.environ["XLA_FLAGS"] = (
 )
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/loam_jax_cache_cpu"
+)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,135 @@
+"""Online streaming engine: threaded stages over native lossy queues
+reproduce the reference's 4-process real-time graph (SURVEY.md §1;
+queue depths/drop behavior of src/laserOdometry.cpp:357-398)."""
+
+import dataclasses
+import time
+
+import numpy as np
+import pytest
+
+from loam_tpu.config import LoamConfig
+from loam_tpu.io import synth
+from loam_tpu.runtime.streaming import NativeQueue, StreamingEngine
+
+CFG = dataclasses.replace(
+    LoamConfig(),
+    ring_width=512,
+    odom_y_scale=1.0,
+    odom_weight_start_iter=0,  # synthetic-data robustness (see test_pipeline)
+    max_less_flat=2048,
+    less_flat_ring_cap=128,
+    corner_table_size=1 << 13,
+    surf_table_size=1 << 14,
+    search_buckets=1 << 11,
+    max_corner_stack=1024,
+    max_surf_stack=2048,
+    # full iteration budgets: the 0.05-damped odometry GN
+    # (src/laserOdometry.cpp:763) needs its 25 iterations to converge;
+    # truncating leaves a systematic per-frame lag
+    odom_max_iters=25,
+    map_max_iters=10,
+)
+
+
+def test_native_queue_drop_oldest():
+    q = NativeQueue(2)
+    assert q.push("a")
+    assert q.push("b")
+    assert not q.push("c")  # drops "a"
+    assert q.pop(0) == "b"
+    assert q.pop(0) == "c"
+    assert q.pop(10) is None  # timeout
+    st = q.stats()
+    assert st["pushed"] == 3 and st["dropped"] == 1 and st["popped"] == 2
+    q.close()
+    assert q.pop(0) is None
+
+
+def test_native_queue_threaded():
+    import threading
+
+    q = NativeQueue(64)
+    got = []
+
+    def consumer():
+        while True:
+            item = q.pop(2000)
+            if item is None:
+                return
+            got.append(item)
+            if len(got) == 50:
+                return
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    for i in range(50):
+        q.push(i)
+    t.join(timeout=10)
+    assert sorted(got) == list(range(50))
+    q.close()
+
+
+@pytest.mark.slow
+def test_streaming_engine_end_to_end():
+    world = synth.make_world(seed=5)
+    F = 8
+    poses = synth.straight_trajectory(F, speed=1.0)
+    poses = np.vstack([poses[:1], poses])[: F + 1]
+    sweeps = []
+    for k in range(F):
+        xyz, m = synth.simulate_sweep(
+            world, poses[k], poses[k + 1], n_azimuth=450, seed=5 + k
+        )
+        n = CFG.max_points
+        sweeps.append((xyz[:n], m[:n]))
+
+    eng = StreamingEngine(CFG)
+    # warm the jits through the engine itself (compile happens inside the
+    # stage threads on the first frames)
+    eng.start()
+    eng.push_sweep(*sweeps[0])
+    assert eng.drain(timeout_s=300)
+
+    for xyz, m in sweeps[1:]:
+        eng.push_sweep(xyz, m)
+        assert eng.drain(timeout_s=60)  # paced: no drops expected
+
+    st = eng.stats()
+    traj = eng.trajectory()
+    eng.stop()
+
+    assert st.odom_frames == F
+    assert st.map_frames >= F // 2 - 1
+    assert st.queue_stats["raw"]["dropped"] == 0
+    assert traj.shape[0] == F
+    assert np.isfinite(traj).all()
+    # trajectory actually tracks the motion
+    assert abs(traj[-1, 5] - poses[-1][5]) < 0.1
+
+
+@pytest.mark.slow
+def test_streaming_engine_sheds_load():
+    """Overdriving the input must drop oldest sweeps, not stall or crash —
+    the reference's lossy-subscription behavior (README.md:33 advises
+    half-speed replay on slow CPUs for exactly this reason)."""
+    world = synth.make_world(seed=6)
+    xyz, m = synth.simulate_sweep(
+        world, np.zeros(6), np.zeros(6), n_azimuth=450, seed=6
+    )
+    n = CFG.max_points
+    xyz, m = xyz[:n], m[:n]
+
+    eng = StreamingEngine(CFG)
+    eng.start()
+    eng.push_sweep(xyz, m)
+    eng.drain(timeout_s=300)  # compile warm-up
+    for _ in range(30):       # flood
+        eng.push_sweep(xyz, m)
+    eng.drain(timeout_s=120)
+    st = eng.stats()
+    eng.stop()
+    assert st.frames_in == 31
+    assert st.queue_stats["raw"]["dropped"] > 0
+    assert st.odom_frames + st.queue_stats["raw"]["dropped"] + \
+        st.queue_stats["feats"]["dropped"] == 31
