@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initial sweeps to drop (default: systemDelay)")
     p.add_argument("--ring-width", type=int, default=2048)
     p.add_argument("--report-timing", action="store_true")
+    p.add_argument("--viz", action="store_true",
+                   help="write viz.png + viewer.html (the rviz displays: "
+                        "map surround, trajectories)")
     return p
 
 
@@ -146,13 +149,13 @@ def main(argv=None) -> int:
             t, rpy, acc = imu
             t0 = stamps[0]
             streams = _window_imu(t - t0, rpy, acc, stamps - t0, cfg)
-            outs = pipeline.replay_sweeps(
+            outs, final = pipeline.replay_sweeps(
                 jnp.asarray(raw), jnp.asarray(mask), cfg, streams,
-                jnp.asarray(stamps - t0, jnp.float32),
+                jnp.asarray(stamps - t0, jnp.float32), return_state=True,
             )
         else:
-            outs = pipeline.replay_sweeps(
-                jnp.asarray(raw), jnp.asarray(mask), cfg
+            outs, final = pipeline.replay_sweeps(
+                jnp.asarray(raw), jnp.asarray(mask), cfg, return_state=True
             )
         h["out"] = outs
     if args.report_timing:
@@ -171,10 +174,41 @@ def main(argv=None) -> int:
         np.asarray(outs.pose_integrated),
     )
 
-    # final map surround cloud: re-run the final state is not retained by
-    # replay_sweeps, so re-play the map tail quickly when small
+    # final map surround cloud (/laser_cloud_surround equivalent,
+    # src/laserMapping.cpp:1038-1058): corner + surf voxel centroids
+    corner_xyz = np.asarray(final.map.corner_map.centroids())
+    corner_live = np.asarray(final.map.corner_map.live())
+    surf_xyz = np.asarray(final.map.surf_map.centroids())
+    surf_live = np.asarray(final.map.surf_map.live())
+    map_xyz = np.concatenate([corner_xyz, surf_xyz], axis=0)
+    map_live = np.concatenate([corner_live, surf_live], axis=0)
+    export.save_cloud_ply(
+        os.path.join(args.out_dir, "map_surround.ply"), map_xyz, map_live
+    )
+
+    if args.viz:
+        from . import viz
+
+        trajs = {
+            "integrated": np.asarray(outs.pose_integrated),
+            "aft_mapped": np.asarray(outs.pose_aft),
+            "odom": np.asarray(outs.pose_odom),
+        }
+        viz.plot_dashboard(
+            os.path.join(args.out_dir, "viz.png"), trajs,
+            map_xyz=map_xyz, map_mask=map_live,
+            title=f"loam_tpu — {F} sweeps",
+        )
+        viz.export_html_viewer(
+            os.path.join(args.out_dir, "viewer.html"), trajs,
+            clouds={"map_surround": (map_xyz, map_live)},
+        )
+        print(f"[loam_tpu] wrote {args.out_dir}/viz.png, viewer.html",
+              flush=True)
+
     print(f"[loam_tpu] wrote {args.out_dir}/{{odom,aft_mapped,integrated}}"
-          f".tum ({F} poses)", flush=True)
+          f".tum ({F} poses) + map_surround.ply "
+          f"({int(map_live.sum())} pts)", flush=True)
     del mapping
     return 0
 

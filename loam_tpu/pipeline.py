@@ -90,9 +90,10 @@ def pipeline_step(state: PipelineState, feats: FeatureClouds,
     return new_state, out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "return_state"))
 def replay_sweeps(raw_xyz, raw_mask, cfg: LoamConfig = LoamConfig(),
-                  imu_streams=None, t_scans=None):
+                  imu_streams=None, t_scans=None, *,
+                  return_state: bool = False):
     """Sequential replay of a sweep sequence.
 
     raw_xyz: (F, N, 3) raw Velodyne clouds; raw_mask: (F, N).
@@ -127,7 +128,9 @@ def replay_sweeps(raw_xyz, raw_mask, cfg: LoamConfig = LoamConfig(),
         f, it = inp
         return pipeline_step(state, f, it if use_imu else None, cfg)
 
-    _, outs = jax.lax.scan(step, state0, (feats, imu_trans))
+    final, outs = jax.lax.scan(step, state0, (feats, imu_trans))
+    if return_state:
+        return outs, final
     return outs
 
 

@@ -44,7 +44,7 @@ def test_cli_synthetic_offline(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "-m", "loam_tpu", "--synthetic", "4",
-         "--out-dir", out, "--ring-width", "512"],
+         "--out-dir", out, "--ring-width", "512", "--viz"],
         capture_output=True, text=True, env=env, cwd=repo, timeout=560,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -52,3 +52,8 @@ def test_cli_synthetic_offline(tmp_path):
         t, pos, _ = export.load_trajectory_tum(os.path.join(out, name))
         assert t.shape == (4,)
         assert np.isfinite(pos).all()
+    # map surround (/laser_cloud_surround) + rviz-equivalent artifacts
+    surround = export.load_cloud_ply(os.path.join(out, "map_surround.ply"))
+    assert surround.shape[0] > 0 and np.isfinite(surround).all()
+    assert os.path.getsize(os.path.join(out, "viz.png")) > 10000
+    assert os.path.getsize(os.path.join(out, "viewer.html")) > 1000
