@@ -166,6 +166,11 @@ class LoamConfig:
     # mapping frame; GN iterations re-rank this top-K cache (a superset of
     # the gated 5-NN for millimetric per-iteration pose updates)
     knn_candidates: int = 24
+    # query-axis chunk for the 27-cell candidate gather: bounds the peak
+    # HBM footprint of the (Q, 27*cap, 3) gather intermediate (it scales
+    # with scenario batch under vmap) at a fixed ~chunk*27*cap*3 words
+    # per scenario, with lax.map over chunks
+    knn_query_chunk: int = 2048
     # local map assembly caps (5x5x5 cube neighborhood concatenation,
     # src/laserMapping.cpp:674-679)
     max_corner_from_map: int = 32768

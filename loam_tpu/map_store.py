@@ -352,15 +352,39 @@ def knn_candidates(grid: SearchGrid, q_xyz, q_mask, k: int,
     src/laserMapping.cpp:717,824.)
 
     Returns (cand (Q, k, 3), cand_valid (Q, k)).
+
+    The gather intermediate is (chunk, 27*cap, 3) per scenario: queries
+    are processed in cfg.knn_query_chunk chunks (lax.map) so peak HBM
+    stays bounded under large scenario batches, and bucket rows are
+    gathered as flattened (cap*3,) lanes so XLA lane-padding stays ~1x
+    instead of 4x on the cap=32 axis.
     """
     Q = q_xyz.shape[0]
     cap = cfg.search_bucket_cap
-    cell = jnp.floor(q_xyz / cfg.search_cell).astype(jnp.int32)
-    cells = cell[:, None, :] + jnp.asarray(_neighbor_offsets())[None, :, :]
-    buckets = _cell_bucket(cells, cfg.search_buckets)  # (Q, 27)
-    cand = grid.xyz[buckets].reshape(Q, 27 * cap, 3)   # contiguous rows
-    valid = grid.valid[buckets].reshape(Q, 27 * cap) & q_mask[:, None]
-    pts, d2 = _kselect(cand, valid, q_xyz, k)
+    flat_rows = grid.xyz.reshape(grid.xyz.shape[0], cap * 3)
+    offsets = jnp.asarray(_neighbor_offsets())
+
+    def one_chunk(args):
+        qx, qm = args
+        c = qx.shape[0]
+        cell = jnp.floor(qx / cfg.search_cell).astype(jnp.int32)
+        cells = cell[:, None, :] + offsets[None, :, :]
+        buckets = _cell_bucket(cells, cfg.search_buckets)  # (c, 27)
+        cand = flat_rows[buckets].reshape(c, 27 * cap, 3)
+        valid = grid.valid[buckets].reshape(c, 27 * cap) & qm[:, None]
+        return _kselect(cand, valid, qx, k)
+
+    chunk = cfg.knn_query_chunk
+    if chunk <= 0 or Q <= chunk or Q % chunk:
+        pts, d2 = one_chunk((q_xyz, q_mask))
+    else:
+        n = Q // chunk
+        pts, d2 = jax.lax.map(
+            one_chunk,
+            (q_xyz.reshape(n, chunk, 3), q_mask.reshape(n, chunk)),
+        )
+        pts = pts.reshape(Q, k, 3)
+        d2 = d2.reshape(Q, k)
     return pts, d2 < 1e29
 
 

@@ -1,0 +1,60 @@
+"""Multi-host DCN layer (parallel/distributed.py) exercised single-process
+on the virtual 8-device CPU mesh: local-shard assembly, the timed
+distributed replay wrapper, metric gathering, and the weak-scaling
+harness must all run and agree with the plain sharded path."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from loam_tpu.config import LoamConfig
+from loam_tpu.parallel import distributed as dist
+from loam_tpu.parallel import replay as preplay
+
+from test_parallel import CFG, _scenarios
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_initialize_is_noop_single_process():
+    dist.initialize()  # must not raise off-cluster
+    dist.initialize(num_processes=1)
+    assert jax.process_count() == 1
+
+
+def test_global_mesh_axes():
+    mesh = dist.global_mesh(tp=2)
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.devices.shape == (4, 2)
+
+
+def test_shard_and_replay_distributed():
+    mesh = dist.global_mesh(tp=1)
+    raw, msk = _scenarios(batch=8, frames=2)
+    res = dist.replay_distributed(
+        np.asarray(raw), np.asarray(msk), CFG, mesh=mesh
+    )
+    assert res.frames_total == 16
+    assert res.per_chip_rate > 0
+    pose = dist.gather_metric(res.outs.pose_integrated)
+    assert pose.shape == (8, 2, 6)
+    assert np.isfinite(pose).all()
+
+    # matches the direct sharded run
+    direct = preplay.make_sharded_replay(mesh, CFG)(raw, msk)
+    np.testing.assert_allclose(
+        pose, np.asarray(direct.pose_integrated), atol=1e-5
+    )
+
+
+def test_scaling_efficiency_harness():
+    cfg = dataclasses.replace(CFG, odom_max_iters=2, map_max_iters=1)
+    rep = dist.scaling_efficiency(
+        cfg, b_per_chip=1, frames=2, n_points=1024, dp_sizes=(1, 2)
+    )
+    assert set(rep["rates"]) == {1, 2}
+    assert rep["efficiency"] > 0
