@@ -94,6 +94,16 @@ class LoamConfig:
     odom_min_surf_last: int = 100
     # empirical ry / tz scale: src/laserOdometry.cpp:832,838 (1.05)
     odom_y_scale: float = 1.05
+    # The reference clears laserCloudOri/coeffSel once per FRAME, outside
+    # the 25-iteration GN loop (src/laserOdometry.cpp:458-459 vs the loop
+    # at :470): every iteration APPENDS its selected correspondences, and
+    # each solve runs over all rows accumulated so far (older rows keep
+    # their frozen coeff/distance, src/laserOdometry.cpp:574-577,710, but
+    # their Jacobians are re-evaluated at the current transform, :708-753).
+    # True reproduces that accumulation via per-point coeff-outer-product
+    # accumulators; False solves each iteration on fresh rows only
+    # (textbook GN).
+    odom_accumulate_rows: bool = True
     # The reference truncates the upward index scan for the 2nd/3rd
     # correspondence point to the *current* feature count instead of the
     # last-cloud size (src/laserOdometry.cpp:486,598 use
@@ -178,6 +188,12 @@ class LoamConfig:
     # incoming stack caps after downsampling
     max_corner_stack: int = 2048
     max_surf_stack: int = 8192
+
+    # Emit the registered full-res cloud (/velodyne_cloud_registered,
+    # src/laserMapping.cpp:1060-1069) from every mapping frame.  Static
+    # flag: off by default to keep replay outputs small; the CLI enables
+    # it for cloud export.
+    emit_registered: bool = False
 
     # ---- IMU (scanRegistration dead-reckoning) ---------------------------
     # imuQueLength: src/scanRegistration.cpp:70

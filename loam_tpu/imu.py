@@ -242,6 +242,21 @@ def sweep_state(stream: ImuStream, integ: ImuIntegral, t_scan,
     )
 
 
+def rpy_at(stream: ImuStream, t):
+    """Interpolate the stream's (pitch, yaw, roll) orientation at time t
+    — the laserMapping IMU-buffer lookup at
+    timeLaserOdometry + scanPeriod (src/laserMapping.cpp:203-222).
+
+    Returns ((3,) rpy, () valid)."""
+    py = _interp_series(t[None], stream.t, stream.rpy[:, 0], stream.mask)[0]
+    yw = _interp_series(
+        t[None], stream.t, stream.rpy[:, 1], stream.mask, wrap="angle"
+    )[0]
+    rl = _interp_series(t[None], stream.t, stream.rpy[:, 2], stream.mask)[0]
+    valid = jnp.sum(stream.mask.astype(jnp.int32)) >= 2
+    return jnp.stack([py, yw, rl]), valid
+
+
 def deskew_points(xyz, sweep_imu: SweepImu):
     """TransformToStartIMU for every point
     (src/scanRegistration.cpp:146-171):

@@ -50,6 +50,11 @@ class MapOutput:
     pose_aft: jax.Array   # (6,) /aft_mapped_to_init equivalent
     pose_bef: jax.Array   # (6,) the twist-smuggled transformBefMapped
     solved: jax.Array     # () bool — local map was large enough to match
+    # /velodyne_cloud_registered equivalent: the full-res sweep projected
+    # into the map frame with the refined pose
+    # (src/laserMapping.cpp:1060-1069); empty-masked unless a full cloud
+    # was passed to mapping_step.
+    registered: PointCloud | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -209,12 +214,20 @@ def _downsample_cloud(cloud: PointCloud, leaf, cap):
 def mapping_step(state: MapState, pose_sum, corner_last: PointCloud,
                  surf_last: PointCloud,
                  imu_rpy: jax.Array | None = None,
-                 cfg: LoamConfig = LoamConfig()):
+                 cfg: LoamConfig = LoamConfig(),
+                 full: PointCloud | None = None):
     """One mapping frame (src/laserMapping.cpp:408-1096).
 
     pose_sum: the odometry pose /laser_odom_to_init for this frame.
     corner_last/surf_last: the odometry's end-projected feature clouds.
-    imu_rpy: optional (2,) [pitch, roll] for the 0.998/0.002 blend.
+    imu_rpy: optional (2,) [pitch, roll] for the 0.998/0.002 blend —
+    per the reference, the IMU stream interpolated at
+    timeLaserOdometry + scanPeriod (src/laserMapping.cpp:203-222), i.e.
+    the sweep-END timestamp, not the sweep's last-point state.
+    full: optional full-res sweep (the odometry's end-projected
+    /velodyne_cloud_3); when given, MapOutput.registered carries it
+    projected into the map frame with the refined pose
+    (src/laserMapping.cpp:1060-1069).
     Returns (new_state, MapOutput).
     """
     # motion prior: re-apply the last mapping correction to the new
@@ -255,15 +268,22 @@ def mapping_step(state: MapState, pose_sum, corner_last: PointCloud,
         tobe,
     )
 
-    # transformUpdate: optional IMU roll/pitch blend, record bef/aft pair
-    # (src/laserMapping.cpp:199-232)
+    # transformUpdate: optional IMU roll/pitch blend, record bef/aft pair.
+    # The reference calls transformUpdate ONLY when the local map was big
+    # enough to solve (src/laserMapping.cpp:706,977-978): on unsolved
+    # frames the blend is skipped and bef/aft keep their old values, while
+    # insertion still proceeds with the prior pose.
     if imu_rpy is not None:
-        tobe = tobe.at[0].set(
+        blended = tobe.at[0].set(
             (1.0 - cfg.imu_blend) * tobe[0] + cfg.imu_blend * imu_rpy[0]
         )
-        tobe = tobe.at[2].set(
+        blended = blended.at[2].set(
             (1.0 - cfg.imu_blend) * tobe[2] + cfg.imu_blend * imu_rpy[1]
         )
+        # optional third element: validity flag (0/1) — the reference's
+        # imuPointerLast >= 0 guard (src/laserMapping.cpp:201)
+        ok = imu_rpy[2] > 0.5 if imu_rpy.shape[0] > 2 else jnp.bool_(True)
+        tobe = jnp.where(can_solve & ok, blended, tobe)
 
     # insert the stacks with the refined pose
     # (src/laserMapping.cpp:980-1036)
@@ -281,15 +301,29 @@ def mapping_step(state: MapState, pose_sum, corner_last: PointCloud,
         surf_map, surf_stack, cfg.map_surf_leaf, cfg.max_surf_stack
     )
 
+    # registered full-res cloud (src/laserMapping.cpp:1060-1069)
+    registered = None
+    if full is not None:
+        reg_xyz = rotations.apply_pose(tobe, full.xyz)
+        registered = full.replace(
+            xyz=jnp.where(full.mask[:, None], reg_xyz, 0.0)
+        )
+
+    new_bef = jnp.where(can_solve, pose_sum, state.transform_bef)
+    new_aft = jnp.where(can_solve, tobe, state.transform_aft)
     new_state = MapState(
         corner_map=corner_map,
         surf_map=surf_map,
-        transform_bef=pose_sum,
-        transform_aft=tobe,
+        transform_bef=new_bef,
+        transform_aft=new_aft,
         nan_skips=state.nan_skips + nan_skip,
     )
+    # the published pose pair is the post-gate transformAftMapped /
+    # transformBefMapped (src/laserMapping.cpp:1071-1087) — stale when the
+    # frame did not solve, exactly like the reference
     return new_state, MapOutput(
-        pose_aft=tobe, pose_bef=pose_sum, solved=can_solve
+        pose_aft=new_aft, pose_bef=new_bef, solved=can_solve,
+        registered=registered,
     )
 
 

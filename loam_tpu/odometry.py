@@ -171,6 +171,7 @@ def gauss_newton_odometry(transform0, feats: FeatureClouds,
     convergence break (src/laserOdometry.cpp:470-827)."""
     sharp, flat = feats.sharp, feats.flat
     S, F = sharp.capacity, flat.capacity
+    N = S + F
 
     init = dict(
         it=jnp.int32(0),
@@ -185,6 +186,13 @@ def gauss_newton_odometry(transform0, feats: FeatureClouds,
         sj2=jnp.full((F,), -1, jnp.int32),
         sj3=jnp.full((F,), -1, jnp.int32),
         nan_skip=jnp.int32(0),
+        # row-accumulation state (cfg.odom_accumulate_rows): per-point
+        # coeff outer products / coeff*rhs sums and the running row count
+        # — the laserCloudOri/coeffSel append semantics of
+        # src/laserOdometry.cpp:458-459,580-581,691-692
+        Cacc=jnp.zeros((N, 3, 3), jnp.float32),
+        bacc=jnp.zeros((N, 3), jnp.float32),
+        n_rows=jnp.int32(0),
     )
 
     def cond(c):
@@ -218,12 +226,26 @@ def gauss_newton_odometry(transform0, feats: FeatureClouds,
             cj1, cj2, sj1, sj2, sj3, cfg,
         )
         n_sel = jnp.sum(keep.astype(jnp.int32))
-        enough = n_sel >= cfg.odom_min_correspondences
 
-        rows = residuals.odom_jacobian_rows(points, coeffs, transform)
-        ata, atb = residuals.normal_equations(
-            rows, -cfg.odom_rhs_scale * rhs, keep
-        )
+        if cfg.odom_accumulate_rows:
+            # append this iteration's rows to the frame-lifetime set
+            # (src/laserOdometry.cpp:458-459: clear is outside the loop)
+            Cacc = c["Cacc"] + coeffs[:, :, None] * coeffs[:, None, :]
+            bacc = c["bacc"] + coeffs * (
+                -cfg.odom_rhs_scale * rhs
+            )[:, None]
+            n_rows = c["n_rows"] + n_sel
+            enough = n_rows >= cfg.odom_min_correspondences
+            J = residuals.odom_point_jacobians(points, transform)
+            ata, atb = residuals.normal_equations_accumulated(J, Cacc, bacc)
+        else:
+            Cacc, bacc = c["Cacc"], c["bacc"]
+            n_rows = n_sel
+            enough = n_sel >= cfg.odom_min_correspondences
+            rows = residuals.odom_jacobian_rows(points, coeffs, transform)
+            ata, atb = residuals.normal_equations(
+                rows, -cfg.odom_rhs_scale * rhs, keep
+            )
         x = linalg.solve_sym6(ata, atb)
 
         # degeneracy projector from the first solved iteration
@@ -267,6 +289,9 @@ def gauss_newton_odometry(transform0, feats: FeatureClouds,
             sj2=sj2,
             sj3=sj3,
             nan_skip=c["nan_skip"] + (is_nan & enough).astype(jnp.int32),
+            Cacc=Cacc,
+            bacc=bacc,
+            n_rows=n_rows,
         )
 
     out = jax.lax.while_loop(cond, body, init)

@@ -76,6 +76,43 @@ def odom_jacobian_rows(points, coeffs, transform):
     return jax.vmap(lambda p, c: grad(transform, p, c))(points, coeffs)
 
 
+def odom_point_jacobians(points, transform):
+    """Full per-point Jacobians J_n = dT_start(p_n; theta, s=1)/dtheta,
+    shape (N, 3, 6).
+
+    Used by the row-accumulation mode (src/laserOdometry.cpp:458-459,470):
+    a row pushed at iteration t with frozen coeff c_t contributes
+    r = J(theta_now)^T c_t at every later solve, so
+    JtJ = sum_n J_n^T (sum_t c_t c_t^T) J_n and
+    Jtb = sum_n J_n^T (sum_t c_t b_t) — the per-point outer-product
+    accumulators replace a 25x row buffer.
+    """
+
+    def T(theta, p):
+        return transform_to_start(p, jnp.float32(1.0), theta)
+
+    return jax.vmap(lambda p: jax.jacfwd(T)(transform, p))(points)
+
+
+def normal_equations_accumulated(J, C, b):
+    """Normal equations from per-point accumulators.
+
+    J (N, 3, 6) current-transform point Jacobians; C (N, 3, 3) accumulated
+    coeff outer products; b (N, 3) accumulated coeff * rhs.  Returns
+    (ata (6,6), atb (6,)).  The N-axis contraction is MXU work and psums
+    over the mesh under parallel.context.row_sharding.
+    """
+    from ..parallel.context import constrain_axis0
+
+    J = constrain_axis0(J)
+    C = constrain_axis0(C)
+    b = constrain_axis0(b)
+    CJ = jnp.einsum("nab,nbj->naj", C, J)
+    ata = jnp.einsum("nai,naj->ij", J, CJ)
+    atb = jnp.einsum("nai,na->i", J, b)
+    return ata, atb
+
+
 def map_jacobian_rows(points, coeffs, transform):
     """Mapping Jacobian rows d(coeff . (R(theta) p + t))/d theta
     (src/laserMapping.cpp:897-919): translation block is the coeff itself.

@@ -42,3 +42,23 @@ def constrain_rows(rows):
     if spec is None:
         return rows
     return jax.lax.with_sharding_constraint(rows, spec)
+
+
+def constrain_axis0(x):
+    """Constrain only the leading (row/point) axis of an arbitrary-rank
+    array to the active spec's first dimension; used by the accumulated
+    normal-equation path on (N, 3, 6)/(N, 3, 3)/(N, 3) blocks."""
+    spec = _ROW_SPEC.get()
+    if spec is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if isinstance(spec, NamedSharding):
+        axis0 = spec.spec[0] if len(spec.spec) else None
+        full = NamedSharding(
+            spec.mesh, PartitionSpec(axis0, *([None] * (x.ndim - 1)))
+        )
+    else:  # PartitionSpec
+        axis0 = spec[0] if len(spec) else None
+        full = PartitionSpec(axis0, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, full)

@@ -46,28 +46,41 @@ class FrameOutput:
     pose_aft: jax.Array        # (6,) /aft_mapped_to_init (latest)
     pose_integrated: jax.Array  # (6,) /integrated_to_init
     mapped: jax.Array          # () bool — mapping ran this frame
+    # /velodyne_cloud_registered (cfg.emit_registered only): the full-res
+    # sweep in the map frame; mask all-False on non-mapping frames
+    registered: "object" = None
 
 
 def pipeline_step(state: PipelineState, feats: FeatureClouds,
-                  imu: ImuTrans | None, cfg: LoamConfig):
+                  imu: ImuTrans | None, cfg: LoamConfig,
+                  map_rpy: jax.Array | None = None):
     """One frame through odometry -> (every 2nd frame) mapping ->
-    integration."""
+    integration.
+
+    map_rpy: optional (2,) [pitch, roll] — the IMU stream interpolated at
+    the sweep-end time t_scan + scanPeriod, consumed by the mapping
+    0.998/0.002 blend (src/laserMapping.cpp:203-225)."""
     odom_state, odom_out = odometry.odometry_step(state.odom, feats, imu, cfg)
+    full = odom_out.full if cfg.emit_registered else None
 
     def run_mapping(ms):
-        imu_rpy = None if imu is None else jnp.stack(
-            [imu.rpy_cur[0], imu.rpy_cur[2]]
-        )
         return mapping.mapping_step(
             ms, odom_out.pose, odom_out.corner_last, odom_out.surf_last,
-            imu_rpy, cfg,
+            map_rpy, cfg, full=full,
         )
 
     def skip_mapping(ms):
+        reg = None
+        if full is not None:
+            reg = full.replace(
+                xyz=jnp.zeros_like(full.xyz),
+                mask=jnp.zeros_like(full.mask),
+            )
         return ms, mapping.MapOutput(
             pose_aft=ms.transform_aft,
             pose_bef=ms.transform_bef,
             solved=jnp.array(False),
+            registered=reg,
         )
 
     map_state, map_out = jax.lax.cond(
@@ -86,6 +99,7 @@ def pipeline_step(state: PipelineState, feats: FeatureClouds,
         pose_aft=map_state.transform_aft,
         pose_integrated=integrated,
         mapped=odom_out.publish_to_mapping,
+        registered=map_out.registered,
     )
     return new_state, out
 
@@ -115,20 +129,37 @@ def replay_sweeps(raw_xyz, raw_mask, cfg: LoamConfig = LoamConfig(),
                 x, m, cfg, s, g, t
             )
         )(raw_xyz, raw_mask, imu_streams, integ, t_scans)
+        # mapping blend input: IMU rpy at the sweep-end timestamp
+        # t_scan + scanPeriod (src/laserMapping.cpp:203-225)
+        def _map_rpy(s, t):
+            rpy, ok = imu_mod.rpy_at(s, t + cfg.scan_period)
+            return jnp.stack(
+                [rpy[0], rpy[2], ok.astype(jnp.float32)]
+            )
+
+        map_rpy = jax.vmap(_map_rpy)(imu_streams, t_scans)
     else:
         sweeps, imu_trans = jax.vmap(
             lambda x, m: frontend.ingest_sweep_imu(x, m, cfg)
         )(raw_xyz, raw_mask)
+        map_rpy = None
     feats = jax.vmap(lambda s: extract_features(s, cfg))(sweeps)
 
     state0 = PipelineState.create(cfg)
     use_imu = imu_streams is not None
 
-    def step(state, inp):
-        f, it = inp
-        return pipeline_step(state, f, it if use_imu else None, cfg)
+    if use_imu:
+        def step(state, inp):
+            f, it, mr = inp
+            return pipeline_step(state, f, it, cfg, map_rpy=mr)
 
-    final, outs = jax.lax.scan(step, state0, (feats, imu_trans))
+        final, outs = jax.lax.scan(step, state0, (feats, imu_trans, map_rpy))
+    else:
+        def step(state, inp):
+            f, it = inp
+            return pipeline_step(state, f, None, cfg)
+
+        final, outs = jax.lax.scan(step, state0, (feats, imu_trans))
     if return_state:
         return outs, final
     return outs

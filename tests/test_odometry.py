@@ -17,6 +17,10 @@ CFG = dataclasses.replace(
     ring_width=1024,
     odom_y_scale=1.0,  # disable the VLP-16 empirical 1.05 for synthetic GT
 )
+# textbook-GN variant: fresh correspondence rows every iteration instead
+# of the reference's frame-lifetime accumulation
+# (src/laserOdometry.cpp:458-459)
+CFG_FRESH = dataclasses.replace(CFG, odom_accumulate_rows=False)
 
 
 def test_odom_jacobian_matches_reference_rows():
@@ -51,7 +55,7 @@ def test_map_jacobian_matches_reference_rows():
         np.testing.assert_allclose(rows[i], ref, rtol=1e-3, atol=1e-5)
 
 
-def _run_sequence(deltas, seed=0):
+def _run_sequence(deltas, seed=0, cfg=CFG):
     """Replay a sequence of sweeps along a piecewise-constant-twist
     trajectory.  deltas: per-sweep 6-pose increments (applied additively in
     this test's small-angle regime).  The first sweep is static so the
@@ -60,15 +64,15 @@ def _run_sequence(deltas, seed=0):
     poses = np.zeros((len(deltas) + 1, 6))
     for k, d in enumerate(deltas):
         poses[k + 1] = poses[k] + np.asarray(d)
-    state = odometry.OdomState.create(CFG)
+    state = odometry.OdomState.create(cfg)
     est = []
     for k in range(len(deltas)):
         xyz, m = synth.simulate_sweep(
             world, poses[k], poses[k + 1], n_azimuth=900, seed=seed + k
         )
-        sweep = frontend.ingest_sweep(jnp.asarray(xyz), jnp.asarray(m), CFG)
-        fc = features.extract_features(sweep, CFG)
-        state, out = odometry.odometry_step(state, fc, None, CFG)
+        sweep = frontend.ingest_sweep(jnp.asarray(xyz), jnp.asarray(m), cfg)
+        fc = features.extract_features(sweep, cfg)
+        state, out = odometry.odometry_step(state, fc, None, cfg)
         est.append(np.asarray(out.pose))
     return np.stack(est), poses
 
@@ -92,12 +96,31 @@ def test_tracking_translation():
     assert np.all(np.abs(steps - 0.10) < 0.03), steps
 
 
-def test_tracking_rotation_translation():
+def test_tracking_rotation_translation_fresh_rows():
+    # textbook GN (fresh rows every iteration) converges tightly
+    deltas = [np.zeros(6)] + [
+        np.array([0, 0.02, 0, 0.01, 0, 0.08])
+    ] * 7
+    est, gt = _run_sequence(deltas, seed=2, cfg=CFG_FRESH)
+    err_t = np.linalg.norm(est[-1][3:] - gt[-1][3:])
+    err_r = abs(est[-1][1] - gt[-1][1])
+    assert err_t < 0.22, (est[-1], gt[-1])
+    assert err_r < 0.025, (est[-1], gt[-1])
+
+
+def test_tracking_rotation_translation_reference_mode():
+    # reference row-accumulation semantics (src/laserOdometry.cpp:458-470):
+    # early iterations' stale rows damp the solve, so lock-on is slower —
+    # the very under-rotation the reference's 1.05 ry fudge compensates
+    # (src/laserOdometry.cpp:832).  Steady-state per-frame yaw step must
+    # still approach the true rate.
     deltas = [np.zeros(6)] + [
         np.array([0, 0.02, 0, 0.01, 0, 0.08])
     ] * 7
     est, gt = _run_sequence(deltas, seed=2)
     err_t = np.linalg.norm(est[-1][3:] - gt[-1][3:])
     err_r = abs(est[-1][1] - gt[-1][1])
-    assert err_t < 0.22, (est[-1], gt[-1])
-    assert err_r < 0.025, (est[-1], gt[-1])
+    assert err_t < 0.25, (est[-1], gt[-1])
+    assert err_r < 0.06, (est[-1], gt[-1])
+    yaw_steps = np.diff(est[3:, 1])
+    assert np.all(np.abs(yaw_steps - 0.02) < 0.01), yaw_steps
