@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="initial sweeps to drop (default: systemDelay)")
     p.add_argument("--ring-width", type=int, default=2048)
     p.add_argument("--report-timing", action="store_true")
+    p.add_argument(
+        "--stream-clouds", action="store_true",
+        help="emit the registered full-res cloud every mapping frame "
+             "(/velodyne_cloud_registered) and the map surround cloud "
+             "every mapFrameNum-th mapping frame (/laser_cloud_surround) "
+             "as PLY streams under OUT_DIR/clouds/",
+    )
     p.add_argument("--viz", action="store_true",
                    help="write viz.png + viewer.html (the rviz displays: "
                         "map surround, trajectories)")
@@ -144,18 +151,24 @@ def main(argv=None) -> int:
         return 0
 
     # offline replay
+    if args.stream_clouds:
+        cfg = dataclasses.replace(cfg, emit_registered=True)
+    streams = None
+    t_scans = None
+    if imu is not None:
+        t, rpy, acc = imu
+        t0 = stamps[0]
+        streams = _window_imu(t - t0, rpy, acc, stamps - t0, cfg)
+        t_scans = jnp.asarray(stamps - t0, jnp.float32)
     with tracing.stage("replay") as h:
-        if imu is not None:
-            t, rpy, acc = imu
-            t0 = stamps[0]
-            streams = _window_imu(t - t0, rpy, acc, stamps - t0, cfg)
-            outs, final = pipeline.replay_sweeps(
-                jnp.asarray(raw), jnp.asarray(mask), cfg, streams,
-                jnp.asarray(stamps - t0, jnp.float32), return_state=True,
+        if args.stream_clouds:
+            outs, final = _replay_streaming_clouds(
+                args, cfg, raw, mask, streams, t_scans
             )
         else:
             outs, final = pipeline.replay_sweeps(
-                jnp.asarray(raw), jnp.asarray(mask), cfg, return_state=True
+                jnp.asarray(raw), jnp.asarray(mask), cfg, streams, t_scans,
+                return_state=True,
             )
         h["out"] = outs
     if args.report_timing:
@@ -211,6 +224,64 @@ def main(argv=None) -> int:
           f"({int(map_live.sum())} pts)", flush=True)
     del mapping
     return 0
+
+
+def _replay_streaming_clouds(args, cfg, raw, mask, streams, t_scans):
+    """Chunked offline replay honoring the reference's cloud cadences
+    (src/laserMapping.cpp:1038-1069): the registered full-res cloud is
+    written every mapping frame, the surround cloud every
+    map_frame_num-th mapping frame (~1 Hz).  Chunks of
+    map_frame_num * (skip_frame_num + 1) sweeps keep one jit compile."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from . import mapping, pipeline
+    from .io import export
+
+    cloud_dir = os.path.join(args.out_dir, "clouds")
+    os.makedirs(cloud_dir, exist_ok=True)
+    F = raw.shape[0]
+    chunk = cfg.map_frame_num * (cfg.skip_frame_num + 1)
+    state = None
+    outs_list = []
+    n_reg = 0
+    n_sur = 0
+    for s in range(0, F, chunk):
+        e = min(s + chunk, F)
+        kw = {}
+        if streams is not None:
+            kw = dict(
+                imu_streams=jax.tree_util.tree_map(
+                    lambda x: x[s:e], streams
+                ),
+                t_scans=t_scans[s:e],
+            )
+        outs_c, state = pipeline.replay_sweeps(
+            jnp.asarray(raw[s:e]), jnp.asarray(mask[s:e]), cfg, **kw,
+            state0=state, return_state=True,
+        )
+        outs_list.append(jax.device_get(outs_c))
+        reg = outs_c.registered
+        mapped = np.asarray(outs_c.mapped)
+        for k in np.nonzero(mapped)[0]:
+            export.save_cloud_ply(
+                os.path.join(cloud_dir, f"registered_{s + int(k):04d}.ply"),
+                np.asarray(reg.xyz[k]), np.asarray(reg.mask[k]),
+            )
+            n_reg += 1
+        sur = mapping.surround_cloud(state.map)
+        export.save_cloud_ply(
+            os.path.join(cloud_dir, f"surround_{e - 1:04d}.ply"),
+            np.asarray(sur.xyz), np.asarray(sur.mask),
+        )
+        n_sur += 1
+    print(f"[loam_tpu] wrote {n_reg} registered + {n_sur} surround "
+          f"clouds to {cloud_dir}", flush=True)
+    outs = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *outs_list
+    )
+    return outs, state
 
 
 def _window_imu(t, rpy, acc, stamps, cfg, capacity: int = 256,

@@ -49,20 +49,24 @@ class LoamConfig:
     # less-flat voxel leaf: src/scanRegistration.cpp:578 (0.2 m)
     less_flat_leaf: float = 0.2
     # Greedy-selection scan depth: the reference walks the full
-    # curvature-sorted subregion (src/scanRegistration.cpp:477,525); with
-    # quotas 2/20/4 and +-5 suppression, scanning the top-K sorted
-    # candidates is exact unless a subregion has more than K qualifying
-    # points.  Static bounds keep the TPU loop short.
-    corner_scan_k: int = 64
-    flat_scan_k: int = 32
+    # curvature-sorted subregion (src/scanRegistration.cpp:477,525), and
+    # already-picked/suppressed entries consume sorted ranks, so a
+    # truncated scan can miss late qualifying picks.  <= 0 (default)
+    # scans the whole subregion — exact; positive values trade exactness
+    # for a shorter TPU loop.
+    corner_scan_k: int = 0
+    flat_scan_k: int = 0
 
     # ---- static feature-cloud capacities ---------------------------------
     max_sharp: int = 256        # 16 rings * 6 subregions * 2 = 192
     max_flat: int = 512         # 16 * 6 * 4 = 384
     max_less_sharp: int = 2048  # 16 * 6 * 20 = 1920
-    max_less_flat: int = 8192   # post-0.2 m-downsample cap
+    # post-0.2 m-downsample cap: a VLP-16 ring can exceed 512 occupied
+    # 0.2 m voxels, and silently dropping voxels changes the odometry
+    # correspondence set vs the reference
+    max_less_flat: int = 16384
     # per-ring less-flat downsample output capacity
-    less_flat_ring_cap: int = 512
+    less_flat_ring_cap: int = 1024
 
     # ---- scan-to-scan odometry (laserOdometry) ---------------------------
     # skipFrameNum: src/laserOdometry.cpp:51 (mapping consumes every 2nd)
@@ -108,9 +112,12 @@ class LoamConfig:
     # correspondence point to the *current* feature count instead of the
     # last-cloud size (src/laserOdometry.cpp:486,598 use
     # cornerPointsSharpNum/surfPointsFlatNum as the loop bound on
-    # laserCloudCornerLast/laserCloudSurfLast).  False = search the whole
-    # last cloud (correct semantics); True = emulate the truncation.
-    emulate_upward_scan_truncation: bool = False
+    # laserCloudCornerLast/laserCloudSurfLast).  True (default) emulates
+    # the truncation for reference parity — exact up to within-ring
+    # ordering, since both our compaction and the reference's push order
+    # are ring-major; False searches the whole last cloud (correct
+    # semantics, slightly better correspondences).
+    emulate_upward_scan_truncation: bool = True
 
     # ---- scan-to-map refinement (laserMapping) ---------------------------
     # stackFrameNum / mapFrameNum: src/laserMapping.cpp:51-52
@@ -176,6 +183,12 @@ class LoamConfig:
     # mapping frame; GN iterations re-rank this top-K cache (a superset of
     # the gated 5-NN for millimetric per-iteration pose updates)
     knn_candidates: int = 24
+    # if the GN iterate drifts more than this (meters) from the pose the
+    # candidates were gathered at, re-gather at the current pose — keeps
+    # the cached set a superset of the true 5-NN even after a bad motion
+    # prior (the reference re-queries its kd-trees every iteration,
+    # src/laserMapping.cpp:717,824).  <= 0 disables.
+    knn_regather_drift: float = 0.2
     # query-axis chunk for the 27-cell candidate gather: bounds the peak
     # HBM footprint of the (Q, 27*cap, 3) gather intermediate (it scales
     # with scenario batch under vmap) at a fixed ~chunk*27*cap*3 words

@@ -123,7 +123,11 @@ def simulate_sweep(
     elev = np.deg2rad(VLP16_ELEVATIONS_DEG)
 
     # firing order: azimuth-major; azimuth 0..2pi over the sweep
-    az = (2 * np.pi) * (np.arange(n_azimuth) / n_azimuth)
+    # clockwise sweep (matching the real VLP-16 rotation sense): the
+    # reference's azimuth phase ori = -atan2(y_velo, x_velo) must INCREASE
+    # over the sweep or its halfPassed unwrap produces garbage relTime
+    # (src/scanRegistration.cpp:230-284)
+    az = -(2 * np.pi) * (np.arange(n_azimuth) / n_azimuth)
     frac = np.arange(n_azimuth) / n_azimuth  # time fraction per column
 
     a_grid = np.repeat(az, n_rings)
@@ -201,7 +205,11 @@ def simulate_sweep_traj(
 
     rng = np.random.default_rng(seed)
     elev = np.deg2rad(VLP16_ELEVATIONS_DEG)
-    az = (2 * np.pi) * (np.arange(n_azimuth) / n_azimuth)
+    # clockwise sweep (matching the real VLP-16 rotation sense): the
+    # reference's azimuth phase ori = -atan2(y_velo, x_velo) must INCREASE
+    # over the sweep or its halfPassed unwrap produces garbage relTime
+    # (src/scanRegistration.cpp:230-284)
+    az = -(2 * np.pi) * (np.arange(n_azimuth) / n_azimuth)
     a_grid = np.repeat(az, n_rings)
     e_grid = np.tile(elev, n_azimuth)
     ce, se = np.cos(e_grid), np.sin(e_grid)

@@ -122,23 +122,32 @@ def gauss_newton_mapping(tobe0, corner_grid, surf_grid,
 
     The 27-cell candidate gather runs once at the prior pose; iterations
     re-rank the cached candidates (see map_store.knn_candidates)."""
-    qc0 = rotations.apply_pose(tobe0, corner_stack.xyz)
-    cand_c, valid_c = map_store.knn_candidates(
-        corner_grid, qc0, corner_stack.mask, cfg.knn_candidates, cfg
-    )
-    qs0 = rotations.apply_pose(tobe0, surf_stack.xyz)
-    cand_s, valid_s = map_store.knn_candidates(
-        surf_grid, qs0, surf_stack.mask, cfg.knn_candidates, cfg
-    )
+    def gather(pose):
+        qc = rotations.apply_pose(pose, corner_stack.xyz)
+        cand_c, valid_c = map_store.knn_candidates(
+            corner_grid, qc, corner_stack.mask, cfg.knn_candidates, cfg
+        )
+        qs = rotations.apply_pose(pose, surf_stack.xyz)
+        cand_s, valid_s = map_store.knn_candidates(
+            surf_grid, qs, surf_stack.mask, cfg.knn_candidates, cfg
+        )
+        return cand_c, valid_c, cand_s, valid_s
+
+    cand_c, valid_c, cand_s, valid_s = gather(tobe0)
 
     init = dict(
         it=jnp.int32(0),
         tobe=tobe0,
+        gather_pose=tobe0,
         converged=jnp.array(False),
         P=jnp.eye(6, dtype=jnp.float32),
         degenerate=jnp.array(False),
         have_P=jnp.array(False),
         nan_skip=jnp.int32(0),
+        cand_c=cand_c,
+        valid_c=valid_c,
+        cand_s=cand_s,
+        valid_s=valid_s,
     )
 
     def cond(c):
@@ -146,6 +155,32 @@ def gauss_newton_mapping(tobe0, corner_grid, surf_grid,
 
     def body(c):
         tobe = c["tobe"]
+
+        # re-gather fallback: if the iterate has drifted beyond the
+        # validity envelope of the cached candidate sets (e.g. after a
+        # bad motion prior), gather fresh 27-cell candidates at the
+        # current pose — restoring the reference's per-iteration re-query
+        # semantics exactly when it matters (src/laserMapping.cpp:717,824)
+        if cfg.knn_regather_drift > 0:
+            drift = jnp.linalg.norm(tobe[3:] - c["gather_pose"][3:])
+
+            def regather(_):
+                return (tobe,) + gather(tobe)
+
+            def keep_cache(_):
+                return (
+                    c["gather_pose"], c["cand_c"], c["valid_c"],
+                    c["cand_s"], c["valid_s"],
+                )
+
+            gather_pose, cand_c, valid_c, cand_s, valid_s = jax.lax.cond(
+                drift > cfg.knn_regather_drift, regather, keep_cache, None
+            )
+        else:
+            gather_pose = c["gather_pose"]
+            cand_c, valid_c = c["cand_c"], c["valid_c"]
+            cand_s, valid_s = c["cand_s"], c["valid_s"]
+
         coeff_c, rhs_c, keep_c = _corner_map_residuals(
             cand_c, valid_c, corner_stack.xyz, corner_stack.mask, tobe, cfg
         )
@@ -189,11 +224,16 @@ def gauss_newton_mapping(tobe0, corner_grid, surf_grid,
         return dict(
             it=c["it"] + 1,
             tobe=new_tobe,
+            gather_pose=gather_pose,
             converged=converged,
             P=P,
             degenerate=degenerate,
             have_P=have_P,
             nan_skip=c["nan_skip"] + (is_nan & enough).astype(jnp.int32),
+            cand_c=cand_c,
+            valid_c=valid_c,
+            cand_s=cand_s,
+            valid_s=valid_s,
         )
 
     out = jax.lax.while_loop(cond, body, init)

@@ -62,41 +62,85 @@ class OdomOutput:
 # correspondence search
 # ---------------------------------------------------------------------------
 
-def _corner_correspondences(proj, q_mask, last: PointCloud, cfg: LoamConfig):
-    """Sharp-corner correspondence: 1-NN in the previous less-sharp cloud
-    plus the closest point on a nearby *different* ring
-    (src/laserOdometry.cpp:474-528).
+def _scan_bounds(col, j1, ring, cr, cfg: LoamConfig):
+    """Vectorized equivalent of the reference's break-bounded index walks
+    outward from the 1-NN (src/laserOdometry.cpp:486-524,598-645).
 
-    The reference walks the ring-sorted cloud outward from the 1-NN and
-    stops beyond +-2.5 ring ids; on a sorted cloud that equals: nearest
-    point with 0 < |ring - ring_1nn| <= 2 under the same 25 m^2 gate.
+    The upward walk stops at the first index whose ring id exceeds
+    cr + ring_window (and, under the loop-bound quirk, at the current
+    feature count); the downward walk stops at the first index whose ring
+    id drops below cr - ring_window.  Returns (up, dn) boolean masks of
+    the walked index ranges (exclusive of the break point and j1)."""
+    w = jnp.float32(cfg.ring_window)
+    rq = ring[None, :].astype(jnp.float32)
+    crq = cr[:, None].astype(jnp.float32)
+    above = (col > j1[:, None]) & (rq > crq + w)
+    brk_up = jnp.where(
+        jnp.any(above, axis=1), jnp.argmax(above, axis=1), ring.shape[0]
+    )
+    below = (col < j1[:, None]) & (rq < crq - w)
+    # last index below j1 violating the window: flip, argmax, unflip
+    below_r = below[:, ::-1]
+    brk_dn = jnp.where(
+        jnp.any(below, axis=1),
+        ring.shape[0] - 1 - jnp.argmax(below_r, axis=1),
+        -1,
+    )
+    up = (col > j1[:, None]) & (col < brk_up[:, None])
+    dn = (col < j1[:, None]) & (col > brk_dn[:, None])
+    return up, dn
+
+
+def _corner_correspondences(proj, q_mask, last: PointCloud, n_query,
+                            cfg: LoamConfig):
+    """Sharp-corner correspondence: 1-NN in the previous less-sharp cloud
+    plus the closest point on a nearby *different* ring, via the
+    reference's literal break-bounded index walks
+    (src/laserOdometry.cpp:474-528): upward candidates need ring > cr,
+    downward ring < cr, both within the +-2.5-ring break.  Under
+    cfg.emulate_upward_scan_truncation the upward walk is additionally
+    cut at index n_query — the reference's loop-bound quirk
+    (laserCloudCornerLast scanned with j < cornerPointsSharpNum, :486).
     """
     j1, d2 = nn.nearest_1(proj, q_mask, last.xyz, last.mask, cfg.odom_nn_gate_sq)
     ring = last.ring()
     cr = jnp.where(j1 >= 0, ring[jnp.clip(j1, 0)], -100)
-    ring_diff = jnp.abs(ring[None, :] - cr[:, None])
+    col = jnp.arange(last.capacity)[None, :]
+    up, dn = _scan_bounds(col, j1, ring, cr, cfg)
+    if cfg.emulate_upward_scan_truncation:
+        up &= col < n_query
     cand = (
         last.mask[None, :]
-        & (ring_diff >= 1)
-        & (ring_diff <= jnp.int32(cfg.ring_window))
         & (j1 >= 0)[:, None]
+        & (
+            (up & (ring[None, :] > cr[:, None]))
+            | (dn & (ring[None, :] < cr[:, None]))
+        )
     )
     j2, _ = nn.masked_argmin(d2, cand, cfg.odom_nn_gate_sq)
     return j1, j2
 
 
-def _surf_correspondences(proj, q_mask, last: PointCloud, cfg: LoamConfig):
-    """Flat-surface correspondence: 1-NN, nearest same-ring second point,
-    nearest nearby-different-ring third point
-    (src/laserOdometry.cpp:586-651)."""
+def _surf_correspondences(proj, q_mask, last: PointCloud, n_query,
+                          cfg: LoamConfig):
+    """Flat-surface correspondence: 1-NN, second point with ring <= cr on
+    the upward walk / ring >= cr on the downward walk, third point with
+    ring > cr upward / ring < cr downward — the reference's literal
+    eligibility tests (src/laserOdometry.cpp:586-651).  n_query: the
+    upward loop bound (surfPointsFlatNum, :598), applied under
+    cfg.emulate_upward_scan_truncation."""
     j1, d2 = nn.nearest_1(proj, q_mask, last.xyz, last.mask, cfg.odom_nn_gate_sq)
     ring = last.ring()
     cr = jnp.where(j1 >= 0, ring[jnp.clip(j1, 0)], -100)
-    ring_diff = jnp.abs(ring[None, :] - cr[:, None])
     col = jnp.arange(last.capacity)[None, :]
+    up, dn = _scan_bounds(col, j1, ring, cr, cfg)
+    if cfg.emulate_upward_scan_truncation:
+        up &= col < n_query
     base = last.mask[None, :] & (j1 >= 0)[:, None]
-    cand2 = base & (ring_diff == 0) & (col != j1[:, None])
-    cand3 = base & (ring_diff >= 1) & (ring_diff <= jnp.int32(cfg.ring_window))
+    rq = ring[None, :]
+    crq = cr[:, None]
+    cand2 = base & ((up & (rq <= crq)) | (dn & (rq >= crq)))
+    cand3 = base & ((up & (rq > crq)) | (dn & (rq < crq)))
     j2, _ = nn.masked_argmin(d2, cand2, cfg.odom_nn_gate_sq)
     j3, _ = nn.masked_argmin(d2, cand3, cfg.odom_nn_gate_sq)
     return j1, j2, j3
@@ -206,11 +250,11 @@ def gauss_newton_odometry(transform0, feats: FeatureClouds,
                 sharp.xyz, sharp.sweep_time(), transform
             )
             cj1, cj2 = _corner_correspondences(
-                proj_c, sharp.mask, corner_last, cfg
+                proj_c, sharp.mask, corner_last, sharp.count(), cfg
             )
             proj_s = transform_to_start(flat.xyz, flat.sweep_time(), transform)
             sj1, sj2, sj3 = _surf_correspondences(
-                proj_s, flat.mask, surf_last, cfg
+                proj_s, flat.mask, surf_last, flat.count(), cfg
             )
             return cj1, cj2, sj1, sj2, sj3
 
@@ -368,7 +412,11 @@ def odometry_step(state: OdomState, feats: FeatureClouds,
             corner_last=feats.less_sharp,
             surf_last=feats.less_flat,
             full=feats.full,
-            publish_to_mapping=jnp.array(True),
+            # the init frame publishes clouds but NO odometry pose
+            # (src/laserOdometry.cpp:427-456: continue before the pose
+            # publish), so the mapping sync gate
+            # (src/laserMapping.cpp:411-414) never fires for it
+            publish_to_mapping=jnp.array(False),
         )
         return new_state, out
 

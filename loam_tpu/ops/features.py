@@ -5,23 +5,19 @@ The reference walks the concatenated cloud with per-point loops and an
 O(n^2) insertion sort per subregion (src/scanRegistration.cpp:359-582).
 Here every ring is a fixed-width row of a (n_scans, W) array:
 
-* curvature — one cumulative-sum window per ring (the 11-tap
-  sum-minus-11x-center form of src/scanRegistration.cpp:359-391);
+* curvature — the literal 11-tap float32 accumulation chain per ring
+  (src/scanRegistration.cpp:359-391), bit-matching the reference (windows
+  of selectable points never cross rings, so per-ring is exact);
 * occlusion / parallel-beam rejection — vectorized neighbor diffs plus
-  6-wide mask dilations (src/scanRegistration.cpp:395-452);
+  6-wide mask dilations over the CONCATENATED compacted cloud
+  (src/scanRegistration.cpp:395-452), preserving the reference's
+  cross-ring boundary bleed, then gathered back into ring rows;
 * per-subregion greedy pick — the sequential quota/suppression semantics
   (src/scanRegistration.cpp:460-582) as a lax.scan over the 6 subregions
-  with a short bounded fori_loop over curvature-sorted candidates,
-  vmapped over rings.
-
-Deliberate divergences from the reference (documented, config-gated where
-feasible):
-* filters and curvature never cross ring boundaries (the reference's
-  concatenated-index loops can bleed a few indices across rings; those
-  indices are almost entirely excluded from selection anyway);
-* the greedy pass scans the top `corner_scan_k`/`flat_scan_k` sorted
-  candidates instead of the whole subregion — exact unless a subregion has
-  more qualifying candidates than the bound (quotas are 2/20/4).
+  with a fori_loop over curvature-sorted candidates (full subregion by
+  default; bounded via corner_scan_k/flat_scan_k), vmapped over rings,
+  with the reference's exact tie order (a backwards walk of a stable
+  ascending insertion sort).
 """
 
 from __future__ import annotations
@@ -51,20 +47,42 @@ def _shift(a, s, fill):
 
 
 def ring_curvature(xyz, n):
-    """Curvature c_k = || sum_{|j|<=5} p_{k+j} - 11 p_k ||^2 for
-    k in [5, n-6] (src/scanRegistration.cpp:359-391), else 0."""
+    """Curvature c_k for k in [5, n-6] (src/scanRegistration.cpp:359-391),
+    else 0.
+
+    Computed with the reference's literal left-to-right accumulation
+    order — x[k-5] + x[k-4] + ... + x[k-1] - 10 x[k] + x[k+1] + ... —
+    in float32, so the value is bit-identical to the C++ float chain.
+    (A cumsum-window form is algebraically equal but rounds differently,
+    and near-tie curvature order drives the chaotic greedy selection.)
+    """
     W = xyz.shape[0]
-    csum = jnp.cumsum(xyz, axis=0)
-    pad = jnp.zeros((6, 3), xyz.dtype)
-    csum_p = jnp.concatenate([pad, csum], axis=0)  # csum_p[k] = sum xyz[:k-6+...]
-    # window sum over [k-5, k+5]: csum[k+5] - csum[k-6]
     idx = jnp.arange(W)
-    hi = jnp.clip(idx + 5, 0, W - 1)
-    win = csum[hi] - csum_p[idx]  # csum_p[idx] == csum[idx-6] (0 for idx<6)
-    d = win - 11.0 * xyz
-    c = jnp.sum(d * d, axis=-1)
+
+    def sh(k):
+        # sh(k)[i] = xyz[i + k]; wrap contamination only lands outside
+        # the [5, n-6] validity window
+        return jnp.roll(xyz, -k, axis=0)
+
+    acc = sh(-5)
+    for k in (-4, -3, -2, -1):
+        acc = acc + sh(k)
+    acc = acc - 10.0 * xyz
+    for k in (1, 2, 3, 4, 5):
+        acc = acc + sh(k)
+    c = acc[:, 0] * acc[:, 0] + acc[:, 1] * acc[:, 1] \
+        + acc[:, 2] * acc[:, 2]
     valid = (idx >= 5) & (idx <= n - 6)
     return jnp.where(valid, c, 0.0), valid
+
+
+def ring_gaps(xyz):
+    """Squared neighbor gaps ||p_{k+1} - p_k||^2 along one row (the
+    suppression-walk gap tests, src/scanRegistration.cpp:495-519)."""
+    W = xyz.shape[0]
+    nxt = jnp.clip(jnp.arange(W) + 1, 0, W - 1)
+    gap = xyz[nxt] - xyz
+    return jnp.sum(gap * gap, axis=-1)
 
 
 def ring_prefilter(xyz, n, cfg: LoamConfig):
@@ -83,15 +101,21 @@ def ring_prefilter(xyz, n, cfg: LoamConfig):
     big_gap = in_loop & (gap_sq > cfg.occlusion_diff_sq)
 
     # current point occludes the next (depth1 > depth2): compare the next
-    # point against the current scaled onto its ray
-    scaled_cur = xyz * (depth_n / jnp.maximum(depth, 1e-6))[:, None]
+    # point against the current scaled onto its ray.  Multiplication
+    # order follows the reference literally ((x * d2) / d1,
+    # src/scanRegistration.cpp:412-414) so the f32 rounding matches.
+    scaled_cur = (xyz * depth_n[:, None]) / jnp.maximum(
+        depth, 1e-6
+    )[:, None]
     d_b = xyz[nxt] - scaled_cur
     behind = big_gap & (depth > depth_n) & (
         jnp.sqrt(jnp.sum(d_b * d_b, -1)) / jnp.maximum(depth_n, 1e-6)
         < cfg.occlusion_rel_thresh
     )
     # next point occludes the current (depth2 >= depth1)
-    scaled_nxt = xyz[nxt] * (depth / jnp.maximum(depth_n, 1e-6))[:, None]
+    scaled_nxt = (xyz[nxt] * depth[:, None]) / jnp.maximum(
+        depth_n, 1e-6
+    )[:, None]
     d_a = scaled_nxt - xyz
     ahead = big_gap & (depth <= depth_n) & (
         jnp.sqrt(jnp.sum(d_a * d_a, -1)) / jnp.maximum(depth, 1e-6)
@@ -151,15 +175,25 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
 
     def subregion(carry, j):
         labels, picked = carry
-        sp = (5 * (cfg.n_subregions - j) + (n - 6) * j) // cfg.n_subregions
+        # subregion bounds (src/scanRegistration.cpp:463-464):
+        # scanStartInd = first+5, scanEndInd = next_first-5, so the
+        # ring-relative span endpoints are s = 5 and e = n-5 (the union
+        # of subregions is [5, n-6] since ep_last = e-1)
+        sp = (5 * (cfg.n_subregions - j) + (n - 5) * j) // cfg.n_subregions
         ep = (
-            5 * (cfg.n_subregions - 1 - j) + (n - 6) * (j + 1)
+            5 * (cfg.n_subregions - 1 - j) + (n - 5) * (j + 1)
         ) // cfg.n_subregions - 1
         idx = sp + jnp.arange(SUBW)
         idxc = jnp.clip(idx, 0, W - 1)
         valid = (idx <= ep) & ok_ring
         c_desc = jnp.where(valid, curv[idxc], NEG_INF)
-        order_desc = jnp.argsort(-c_desc)
+        # the reference's descending traversal walks a stable ASCENDING
+        # insertion sort backwards (src/scanRegistration.cpp:466-477), so
+        # curvature ties are visited larger-index first; emulate by
+        # stable-sorting a reversed view (invalid -inf entries still land
+        # last)
+        rev = jnp.arange(SUBW)[::-1]
+        order_desc = rev[jnp.argsort(-c_desc[rev], stable=True)]
 
         def corner_step(t, st):
             labels, picked, cnt, stopped = st
@@ -187,9 +221,10 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
             )
             return labels, picked, newcnt, stopped
 
+        corner_k = cfg.corner_scan_k if cfg.corner_scan_k > 0 else SUBW
         labels, picked, _, _ = jax.lax.fori_loop(
             0,
-            cfg.corner_scan_k,
+            corner_k,
             corner_step,
             (labels, picked, jnp.int32(0), jnp.bool_(False)),
         )
@@ -219,9 +254,10 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
             )
             return labels, picked, newcnt, stopped
 
+        flat_k = cfg.flat_scan_k if cfg.flat_scan_k > 0 else SUBW
         labels, picked, _, _ = jax.lax.fori_loop(
             0,
-            cfg.flat_scan_k,
+            flat_k,
             flat_step,
             (labels, picked, jnp.int32(0), jnp.bool_(False)),
         )
@@ -256,9 +292,31 @@ def extract_features(sweep: Sweep, cfg: LoamConfig = LoamConfig()) -> FeatureClo
     counts = jnp.sum(sweep.mask.astype(jnp.int32), axis=1)
 
     curv, _ = jax.vmap(ring_curvature)(sweep.xyz, counts)
-    pre_picked, gap_sq = jax.vmap(
-        lambda x, n: ring_prefilter(x, n, cfg)
-    )(sweep.xyz, counts)
+
+    # occlusion/parallel-beam prefilter over the CONCATENATED cloud, as
+    # the reference walks it (src/scanRegistration.cpp:395-452): marks
+    # bleed across ring boundaries into the first/last selectable index
+    # of the neighboring ring, which seeds the chaotic greedy selection.
+    # Compact valid points ring-major (the reference's concatenation
+    # order), run the 1-D prefilter globally, and gather marks back into
+    # ring rows.
+    n_scans, W = sweep.mask.shape
+    flat_mask0 = sweep.mask.reshape(-1)
+    order = jnp.argsort(jnp.logical_not(flat_mask0), stable=True)
+    xyz_c = sweep.xyz.reshape(-1, 3)[order]
+    n_total = jnp.sum(flat_mask0.astype(jnp.int32))
+    picked_c, _ = ring_prefilter(xyz_c, n_total, cfg)
+    ring_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    gather_idx = ring_starts[:, None] + jnp.arange(W)[None, :]
+    pre_picked = picked_c[
+        jnp.clip(gather_idx, 0, n_scans * W - 1)
+    ] & sweep.mask
+
+    # per-ring neighbor gaps for the suppression walks (within-ring by
+    # construction for all selectable picks)
+    gap_sq = jax.vmap(ring_gaps)(sweep.xyz)
 
     labels, _ = jax.vmap(
         lambda x, c, g, p, n: select_ring(x, c, g, p, n, cfg)

@@ -107,6 +107,7 @@ def pipeline_step(state: PipelineState, feats: FeatureClouds,
 @functools.partial(jax.jit, static_argnames=("cfg", "return_state"))
 def replay_sweeps(raw_xyz, raw_mask, cfg: LoamConfig = LoamConfig(),
                   imu_streams=None, t_scans=None, *,
+                  state0: "PipelineState | None" = None,
                   return_state: bool = False):
     """Sequential replay of a sweep sequence.
 
@@ -145,7 +146,8 @@ def replay_sweeps(raw_xyz, raw_mask, cfg: LoamConfig = LoamConfig(),
         map_rpy = None
     feats = jax.vmap(lambda s: extract_features(s, cfg))(sweeps)
 
-    state0 = PipelineState.create(cfg)
+    if state0 is None:
+        state0 = PipelineState.create(cfg)
     use_imu = imu_streams is not None
 
     if use_imu:

@@ -49,13 +49,20 @@ class PointCloud:
         return jnp.sum(self.mask.astype(jnp.int32), axis=-1)
 
     def ring(self) -> jax.Array:
-        """Integer ring id (int(intensity) in the reference)."""
-        return jnp.floor(self.rel).astype(jnp.int32)
+        """Integer ring id (int(intensity) in the reference).
+
+        C int() truncates toward zero — NOT floor.  A ring-0 point with a
+        slightly negative relTime has intensity -eps; the reference
+        decodes ring 0 and s = -10*eps, while floor would give ring -1
+        and s ~= 10."""
+        return jnp.trunc(self.rel).astype(jnp.int32)
 
     def sweep_time(self) -> jax.Array:
-        """Normalized point time s in [0, 1]:
-        s = 10 * (intensity - int(intensity)), src/laserOdometry.cpp:103."""
-        return 10.0 * (self.rel - jnp.floor(self.rel))
+        """Normalized point time s:
+        s = 10 * (intensity - int(intensity)), src/laserOdometry.cpp:103,
+        with C truncation semantics (may be slightly negative at the
+        sweep-start seam, exactly as in the reference)."""
+        return 10.0 * (self.rel - jnp.trunc(self.rel))
 
     def replace(self, **kw) -> "PointCloud":
         return dataclasses.replace(self, **kw)

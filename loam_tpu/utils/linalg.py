@@ -115,15 +115,49 @@ def fit_plane5(pts):
     5x3 QR solve at src/laserMapping.cpp:826-843), normalize to unit
     normal.  pts: (..., k, 3).  Returns (normal, d) with
     normal . p + d ~= 0 and |normal| = 1.
+
+    Solved via batched modified Gram-Schmidt QR of the k x 3 system —
+    error scales with cond(A) like the reference's cv::DECOMP_QR, not
+    cond(A)^2: the normal-equation/adjugate route loses ~5 deg of normal
+    accuracy in f32 on the near-coplanar clusters this is always called
+    on.
     """
     A = pts
     b = -jnp.ones(pts.shape[:-1], pts.dtype)
-    At = jnp.swapaxes(A, -1, -2)
-    ata = At @ A
-    atb = jnp.einsum("...ij,...i->...j", A, b)
-    # 3x3 solve via adjugate (batched, no lapack)
-    x = solve3x3(ata, atb)
-    ps = jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), 1e-30))
+    eps = jnp.asarray(1e-30, pts.dtype)
+
+    a1 = A[..., :, 0]
+    a2 = A[..., :, 1]
+    a3 = A[..., :, 2]
+
+    def norm(v):
+        return jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1), eps))
+
+    def dot(u, v):
+        return jnp.sum(u * v, -1)
+
+    r11 = norm(a1)
+    q1 = a1 / r11[..., None]
+    r12 = dot(q1, a2)
+    a2p = a2 - r12[..., None] * q1
+    r22 = norm(a2p)
+    q2 = a2p / r22[..., None]
+    r13 = dot(q1, a3)
+    a3p = a3 - r13[..., None] * q1
+    r23 = dot(q2, a3p)
+    a3p = a3p - r23[..., None] * q2
+    r33 = norm(a3p)
+    q3 = a3p / r33[..., None]
+
+    y1 = dot(q1, b)
+    y2 = dot(q2, b)
+    y3 = dot(q3, b)
+    x3 = y3 / r33
+    x2 = (y2 - r23 * x3) / r22
+    x1 = (y1 - r12 * x2 - r13 * x3) / r11
+    x = jnp.stack([x1, x2, x3], -1)
+
+    ps = jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1, keepdims=True), eps))
     normal = x / ps
     d = 1.0 / ps[..., 0]
     return normal, d

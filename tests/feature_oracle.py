@@ -67,8 +67,10 @@ def extract_ring_labels(xyz, n, cfg, curv=None):
             picked[ind - l] = True
 
     for j in range(6):
-        sp = (5 * (6 - j) + (n - 6) * j) // 6
-        ep = (5 * (5 - j) + (n - 6) * (j + 1)) // 6 - 1
+        # ring-relative subregion bounds: s = 5, e = n-5
+        # (scanStartInd/scanEndInd at src/scanRegistration.cpp:383-393)
+        sp = (5 * (6 - j) + (n - 5) * j) // 6
+        ep = (5 * (5 - j) + (n - 5) * (j + 1)) // 6 - 1
         if ep < sp:
             continue
         idx = np.arange(sp, ep + 1)

