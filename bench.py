@@ -2,15 +2,20 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-A "scan match" = one frame through the full estimation core (scan-to-scan
-odometry GN + the skip-frame-cadenced scan-to-map GN + integration) — the
-work the reference performs at 10 Hz on ~2 CPU cores (BASELINE.md).
-vs_baseline is the speedup over that 10 scan-matches/sec envelope.
+A "scan match" = one frame through the WHOLE per-sweep pipeline —
+frontend (ingest + feature extraction) + scan-to-scan odometry GN + the
+skip-frame-cadenced scan-to-map GN + integration — the work the reference
+performs at 10 Hz on ~2 CPU cores (BASELINE.md).  Unlike round 1, the
+frontend IS inside the timed loop, matching the reference's envelope
+(scanRegistration is one of its four processes).
 
 Scenario-batched (DP) replay fills the chip: B independent synthetic
 sequences advance in lockstep through one jitted vmapped pipeline step
 (host frame loop — compile once, reuse every frame; the persistent
 compilation cache makes reruns start fast).
+
+    python bench.py            # headline config, one JSON line
+    python bench.py --table    # B sweep + per-stage table -> BENCH.md
 """
 
 from __future__ import annotations
@@ -26,21 +31,10 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/loam_jax_cache")
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-
+def _cfg():
     from loam_tpu.config import LoamConfig
-    from loam_tpu.io import synth
-    from loam_tpu import frontend, pipeline
-    from loam_tpu.ops.features import extract_features
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    F = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-
-    cfg = dataclasses.replace(
+    return dataclasses.replace(
         LoamConfig(),
         ring_width=1024,
         odom_y_scale=1.0,
@@ -52,10 +46,18 @@ def main():
         max_surf_from_map=16384,
     )
 
-    # host-side synthetic scenario generation (not timed)
+
+def _data(cfg, B, F):
+    """B scenarios of F sweeps.  Host-side ray casting is slow on this
+    container's 2 cores, so at most 8 unique scenarios are generated and
+    tiled — the device still sees B independent state streams (identical
+    inputs don't change the work performed)."""
+    from loam_tpu.io import synth
+
+    uniq = min(B, 8)
     rng = np.random.default_rng(0)
     raws, msks = [], []
-    for b in range(B):
+    for b in range(uniq):
         world = synth.make_world(seed=int(rng.integers(1 << 30)))
         poses = synth.straight_trajectory(
             F, speed=float(rng.uniform(0.6, 1.4)),
@@ -71,10 +73,30 @@ def main():
             ms.append(m)
         raws.append(np.stack(xs))
         msks.append(np.stack(ms))
-    raw = jnp.asarray(np.stack(raws))
-    msk = jnp.asarray(np.stack(msks))
+    raw = np.stack(raws)
+    msk = np.stack(msks)
+    if B > uniq:
+        reps = -(-B // uniq)
+        raw = np.tile(raw, (reps, 1, 1, 1))[:B]
+        msk = np.tile(msk, (reps, 1, 1))[:B]
+    return raw, msk
 
-    # frontend: one compile for a (B,) batch of sweeps, host loop over F
+
+def run_once(B: int, F: int, per_stage: bool = False):
+    """Returns dict with rates (and per-stage ms when requested)."""
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from loam_tpu import frontend, pipeline
+    from loam_tpu.ops.features import extract_features
+
+    cfg = _cfg()
+    raw_np, msk_np = _data(cfg, B, F)
+    raw = jnp.asarray(raw_np)
+    msk = jnp.asarray(msk_np)
+
     front = jax.jit(
         jax.vmap(
             lambda x, m: extract_features(
@@ -82,31 +104,86 @@ def main():
             )
         )
     )
-    feats_frames = [front(raw[:, k], msk[:, k]) for k in range(F)]
-    jax.block_until_ready(feats_frames[-1])
-
-    # estimation core: one compile of the batched step, host frame loop
     step = jax.jit(
         jax.vmap(lambda s, f: pipeline.pipeline_step(s, f, None, cfg))
     )
-    state = jax.tree_util.tree_map(
+    state0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape),
         pipeline.PipelineState.create(cfg),
     )
-    state, out = step(state, feats_frames[0])  # compile + warm
+
+    # warm both jits
+    f0 = front(raw[:, 0], msk[:, 0])
+    state, out = step(state0, f0)
     jax.block_until_ready(out)
 
+    # timed loop: frontend + estimation core per frame
+    state = state0
     t0 = time.perf_counter()
-    for k in range(1, F):
-        state, out = step(state, feats_frames[k])
+    for k in range(F):
+        feats = front(raw[:, k], msk[:, k])
+        state, out = step(state, feats)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    matches_per_sec = B * (F - 1) / dt
     n_chips = max(
         1, len([d for d in jax.devices() if d.platform != "cpu"]) or 1
     )
-    value = matches_per_sec / n_chips
+    res = {
+        "B": B,
+        "F": F,
+        "total_s": dt,
+        "scan_matches_per_s_per_chip": B * F / dt / n_chips,
+    }
+
+    if per_stage:
+        def t(fn, n=6):
+            jax.block_until_ready(fn())
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = fn()
+            jax.block_until_ready(r)
+            return (time.perf_counter() - t0) / n * 1000
+
+        feats = front(raw[:, 1], msk[:, 1])
+        state1, _ = step(state0, front(raw[:, 0], msk[:, 0]))
+        res["frontend_ms"] = t(lambda: front(raw[:, 1], msk[:, 1]))
+        res["step_ms"] = t(lambda: step(state1, feats))
+    return res
+
+
+def main():
+    args = sys.argv[1:]
+    if "--table" in args:
+        lines = [
+            "# BENCH — single-chip throughput (real TPU)",
+            "",
+            "Metric: scan-matches/sec/chip over the WHOLE per-sweep "
+            "pipeline (frontend + odometry + cadenced mapping + "
+            "integration), scenario-batched.  Reference envelope: 10 "
+            "scans/s on ~2 CPU cores (BASELINE.md).",
+            "",
+            "| B | frontend ms/step | core ms/step | scan-matches/s/chip "
+            "| vs 10 Hz envelope |",
+            "|---|---|---|---|---|",
+        ]
+        for B in (8, 32, 128):
+            r = run_once(B, F=16, per_stage=True)
+            lines.append(
+                f"| {B} | {r['frontend_ms']:.1f} | {r['step_ms']:.1f} | "
+                f"{r['scan_matches_per_s_per_chip']:.1f} | "
+                f"{r['scan_matches_per_s_per_chip'] / 10.0:.1f}x |"
+            )
+            print(json.dumps(r), flush=True)
+        with open(os.path.join(os.path.dirname(__file__), "BENCH.md"),
+                  "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return
+
+    B = int(args[0]) if args else 32
+    F = int(args[1]) if len(args) > 1 else 16
+    r = run_once(B, F)
+    value = r["scan_matches_per_s_per_chip"]
     print(json.dumps({
         "metric": "scan-matches/sec/chip",
         "value": round(value, 2),

@@ -133,8 +133,23 @@ def main(argv=None) -> int:
         eng = StreamingEngine(cfg)
         eng.start()
         t0 = time.perf_counter()
+        t_base = stamps[0]
+        imu_cursor = 0
         for k in range(F):
-            eng.push_sweep(raw[k], mask[k])
+            t_scan = float(stamps[k] - t_base)
+            if imu is not None:
+                # interleave IMU samples ahead of the sweep they cover,
+                # as the live subscriptions would deliver them
+                it, irpy, iacc = imu
+                horizon = t_scan + cfg.scan_period + 0.05
+                while imu_cursor < it.shape[0] and \
+                        it[imu_cursor] - t_base <= horizon:
+                    eng.push_imu(
+                        it[imu_cursor] - t_base, irpy[imu_cursor],
+                        iacc[imu_cursor],
+                    )
+                    imu_cursor += 1
+            eng.push_sweep(raw[k], mask[k], t_scan)
         eng.drain(timeout_s=600)
         dt = time.perf_counter() - t0
         st = eng.stats()

@@ -179,9 +179,18 @@ class LoamConfig:
     search_cell: float = 1.0
     search_buckets: int = 1 << 14
     search_bucket_cap: int = 32
-    # cached NN candidates per query: the 27-cell gather runs once per
-    # mapping frame; GN iterations re-rank this top-K cache (a superset of
-    # the gated 5-NN for millimetric per-iteration pose updates)
+    # Exact-kNN mapping path (default): the FOV-culled local map is
+    # compacted into one dense block and every GN iteration re-queries
+    # exact 5-NN through the fused Pallas distance/top-k kernel
+    # (ops/pallas/knn_topk.py) — the reference's per-iteration kd-query
+    # semantics (src/laserMapping.cpp:717,824) at MXU speed.  False
+    # selects the bounded-memory cell-bucket variant below (cached
+    # candidates + drift-triggered re-gather).
+    map_exact_knn: bool = True
+    # cached NN candidates per query (map_exact_knn=False): the 27-cell
+    # gather runs once per mapping frame; GN iterations re-rank this
+    # top-K cache (a superset of the gated 5-NN for millimetric
+    # per-iteration pose updates)
     knn_candidates: int = 24
     # if the GN iterate drifts more than this (meters) from the pose the
     # candidates were gathered at, re-gather at the current pose — keeps

@@ -256,6 +256,44 @@ def local_cube_fov(center_cube, tobe, cfg: LoamConfig):
 
 
 # ---------------------------------------------------------------------------
+# per-frame local map (compacted, for the fused exact-kNN path)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LocalMap:
+    """FOV-culled 5x5x5-neighborhood map centroids, compacted into a
+    fixed-capacity array — laserCloudCornerFromMap/SurfFromMap
+    (src/laserMapping.cpp:674-681) as one dense block, consumed by the
+    fused Pallas distance/top-k kernel (ops/pallas/knn_topk.py) instead
+    of a per-frame kd-tree."""
+
+    xyz: jax.Array      # (cap, 3)
+    mask: jax.Array     # (cap,)
+    n_local: jax.Array  # () int32
+
+
+def local_map_points(table: VoxelTable, center_cube, fov, cap: int,
+                     cfg: LoamConfig) -> LocalMap:
+    """Compact the local-region (5x5x5 cubes, FOV-culled) centroids."""
+    cent = table.centroids()
+    cubes = entry_cubes(table)
+    off = cubes - center_cube[None, :]
+    r = cfg.local_cubes
+    in_region = table.live() & jnp.all(jnp.abs(off) <= r, axis=1)
+    offc = jnp.clip(off + r, 0, 2 * r)
+    fov_ok = fov[offc[:, 0], offc[:, 1], offc[:, 2]]
+    keep = in_region & fov_ok
+    order = jnp.argsort(jnp.logical_not(keep))[:cap]
+    m = keep[order]
+    return LocalMap(
+        xyz=jnp.where(m[:, None], cent[order], 0.0),
+        mask=m,
+        n_local=jnp.sum(keep.astype(jnp.int32)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-frame search grid (CSR over 1 m cells)
 # ---------------------------------------------------------------------------
 

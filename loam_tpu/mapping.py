@@ -61,15 +61,14 @@ class MapOutput:
 # correspondence
 # ---------------------------------------------------------------------------
 
-def _corner_map_residuals(cand, cand_valid, q_body, q_mask, tobe,
-                          cfg: LoamConfig):
+def _corner_map_residuals(nn_fn, q_body, q_mask, tobe, cfg: LoamConfig):
     """Corner scan-to-map residual: 5-NN (gate 1 m^2), 3x3 covariance
     eigendecomposition, line residual against centroid +- 0.1*eigvec if
     lambda1 > 3*lambda2, weight s = 1 - 0.9|d|
-    (src/laserMapping.cpp:714-819).  NN comes from the per-frame cached
-    candidate sets (map_store.knn_candidates)."""
+    (src/laserMapping.cpp:714-819).  nn_fn(q) -> (pts, d2) supplies the
+    5-NN (exact fused kernel, or the cached candidate re-rank)."""
     q = rotations.apply_pose(tobe, q_body)
-    pts, d2 = map_store.knn_from_candidates(cand, cand_valid, q, cfg.map_knn)
+    pts, d2 = nn_fn(q)
     gate = q_mask & (d2[:, cfg.map_knn - 1] < cfg.map_nn_gate_sq)
 
     centroid = jnp.mean(pts, axis=1)
@@ -89,13 +88,12 @@ def _corner_map_residuals(cand, cand_valid, q_body, q_mask, tobe,
     return coeff, rhs, keep
 
 
-def _surf_map_residuals(cand, cand_valid, q_body, q_mask, tobe,
-                        cfg: LoamConfig):
+def _surf_map_residuals(nn_fn, q_body, q_mask, tobe, cfg: LoamConfig):
     """Surface scan-to-map residual: 5-NN (gate 1 m^2), least-squares
     plane fit (A x = -1), 0.2 m off-plane validity check, range-scaled
-    weight (src/laserMapping.cpp:821-877).  NN from cached candidates."""
+    weight (src/laserMapping.cpp:821-877)."""
     q = rotations.apply_pose(tobe, q_body)
-    pts, d2 = map_store.knn_from_candidates(cand, cand_valid, q, cfg.map_knn)
+    pts, d2 = nn_fn(q)
     gate = q_mask & (d2[:, cfg.map_knn - 1] < cfg.map_nn_gate_sq)
 
     normal, pd = linalg.fit_plane5(pts)
@@ -113,41 +111,72 @@ def _surf_map_residuals(cand, cand_valid, q_body, q_mask, tobe,
     return coeff, rhs, keep
 
 
-def gauss_newton_mapping(tobe0, corner_grid, surf_grid,
+def _exact_nn_fns(corner_local, surf_local, cfg: LoamConfig):
+    """Per-iteration exact 5-NN against the compacted local map — the
+    reference's kd re-query semantics (src/laserMapping.cpp:717,824) via
+    the fused Pallas distance/top-k kernel."""
+    from .ops.pallas.knn_topk import knn_points
+
+    def nn_c(q):
+        return knn_points(
+            q, None, corner_local.xyz, corner_local.mask, cfg.map_knn
+        )
+
+    def nn_s(q):
+        return knn_points(
+            q, None, surf_local.xyz, surf_local.mask, cfg.map_knn
+        )
+
+    return nn_c, nn_s
+
+
+def gauss_newton_mapping(tobe0, corner_index, surf_index,
                          corner_stack: PointCloud, surf_stack: PointCloud,
                          cfg: LoamConfig):
     """<=10 full-step GN iterations with per-iteration re-association,
     min-50-correspondence gate, threshold-100 degeneracy projector, and
     0.05deg/0.05cm convergence (src/laserMapping.cpp:710-975).
 
-    The 27-cell candidate gather runs once at the prior pose; iterations
-    re-rank the cached candidates (see map_store.knn_candidates)."""
-    def gather(pose):
-        qc = rotations.apply_pose(pose, corner_stack.xyz)
-        cand_c, valid_c = map_store.knn_candidates(
-            corner_grid, qc, corner_stack.mask, cfg.knn_candidates, cfg
-        )
-        qs = rotations.apply_pose(pose, surf_stack.xyz)
-        cand_s, valid_s = map_store.knn_candidates(
-            surf_grid, qs, surf_stack.mask, cfg.knn_candidates, cfg
-        )
-        return cand_c, valid_c, cand_s, valid_s
+    cfg.map_exact_knn: corner_index/surf_index are map_store.LocalMap
+    blocks and every iteration re-queries exact 5-NN (fused kernel).
+    Otherwise they are map_store.SearchGrid bucket grids: the 27-cell
+    candidate gather runs once at the prior pose, iterations re-rank the
+    cache, and a drift-triggered re-gather restores exactness after a
+    bad motion prior."""
+    if cfg.map_exact_knn:
+        nn_c0, nn_s0 = _exact_nn_fns(corner_index, surf_index, cfg)
+        extra = dict()
+    else:
+        def gather(pose):
+            qc = rotations.apply_pose(pose, corner_stack.xyz)
+            cand_c, valid_c = map_store.knn_candidates(
+                corner_index, qc, corner_stack.mask, cfg.knn_candidates,
+                cfg,
+            )
+            qs = rotations.apply_pose(pose, surf_stack.xyz)
+            cand_s, valid_s = map_store.knn_candidates(
+                surf_index, qs, surf_stack.mask, cfg.knn_candidates, cfg
+            )
+            return cand_c, valid_c, cand_s, valid_s
 
-    cand_c, valid_c, cand_s, valid_s = gather(tobe0)
+        cand_c, valid_c, cand_s, valid_s = gather(tobe0)
+        extra = dict(
+            gather_pose=tobe0,
+            cand_c=cand_c,
+            valid_c=valid_c,
+            cand_s=cand_s,
+            valid_s=valid_s,
+        )
 
     init = dict(
         it=jnp.int32(0),
         tobe=tobe0,
-        gather_pose=tobe0,
         converged=jnp.array(False),
         P=jnp.eye(6, dtype=jnp.float32),
         degenerate=jnp.array(False),
         have_P=jnp.array(False),
         nan_skip=jnp.int32(0),
-        cand_c=cand_c,
-        valid_c=valid_c,
-        cand_s=cand_s,
-        valid_s=valid_s,
+        **extra,
     )
 
     def cond(c):
@@ -156,36 +185,59 @@ def gauss_newton_mapping(tobe0, corner_grid, surf_grid,
     def body(c):
         tobe = c["tobe"]
 
-        # re-gather fallback: if the iterate has drifted beyond the
-        # validity envelope of the cached candidate sets (e.g. after a
-        # bad motion prior), gather fresh 27-cell candidates at the
-        # current pose — restoring the reference's per-iteration re-query
-        # semantics exactly when it matters (src/laserMapping.cpp:717,824)
-        if cfg.knn_regather_drift > 0:
-            drift = jnp.linalg.norm(tobe[3:] - c["gather_pose"][3:])
+        if cfg.map_exact_knn:
+            nn_c, nn_s = nn_c0, nn_s0
+            extra_out = dict()
+        else:
+            # re-gather fallback: if the iterate has drifted beyond the
+            # validity envelope of the cached candidate sets (e.g. after
+            # a bad motion prior), gather fresh 27-cell candidates at the
+            # current pose (src/laserMapping.cpp:717,824 semantics)
+            if cfg.knn_regather_drift > 0:
+                drift = jnp.linalg.norm(tobe[3:] - c["gather_pose"][3:])
 
-            def regather(_):
-                return (tobe,) + gather(tobe)
+                def regather(_):
+                    return (tobe,) + gather(tobe)
 
-            def keep_cache(_):
-                return (
-                    c["gather_pose"], c["cand_c"], c["valid_c"],
-                    c["cand_s"], c["valid_s"],
+                def keep_cache(_):
+                    return (
+                        c["gather_pose"], c["cand_c"], c["valid_c"],
+                        c["cand_s"], c["valid_s"],
+                    )
+
+                gather_pose, cand_c, valid_c, cand_s, valid_s = \
+                    jax.lax.cond(
+                        drift > cfg.knn_regather_drift, regather,
+                        keep_cache, None,
+                    )
+            else:
+                gather_pose = c["gather_pose"]
+                cand_c, valid_c = c["cand_c"], c["valid_c"]
+                cand_s, valid_s = c["cand_s"], c["valid_s"]
+
+            def nn_c(q):
+                return map_store.knn_from_candidates(
+                    cand_c, valid_c, q, cfg.map_knn
                 )
 
-            gather_pose, cand_c, valid_c, cand_s, valid_s = jax.lax.cond(
-                drift > cfg.knn_regather_drift, regather, keep_cache, None
+            def nn_s(q):
+                return map_store.knn_from_candidates(
+                    cand_s, valid_s, q, cfg.map_knn
+                )
+
+            extra_out = dict(
+                gather_pose=gather_pose,
+                cand_c=cand_c,
+                valid_c=valid_c,
+                cand_s=cand_s,
+                valid_s=valid_s,
             )
-        else:
-            gather_pose = c["gather_pose"]
-            cand_c, valid_c = c["cand_c"], c["valid_c"]
-            cand_s, valid_s = c["cand_s"], c["valid_s"]
 
         coeff_c, rhs_c, keep_c = _corner_map_residuals(
-            cand_c, valid_c, corner_stack.xyz, corner_stack.mask, tobe, cfg
+            nn_c, corner_stack.xyz, corner_stack.mask, tobe, cfg
         )
         coeff_s, rhs_s, keep_s = _surf_map_residuals(
-            cand_s, valid_s, surf_stack.xyz, surf_stack.mask, tobe, cfg
+            nn_s, surf_stack.xyz, surf_stack.mask, tobe, cfg
         )
         points = jnp.concatenate([corner_stack.xyz, surf_stack.xyz])
         coeffs = jnp.concatenate([coeff_c, coeff_s])
@@ -224,16 +276,12 @@ def gauss_newton_mapping(tobe0, corner_grid, surf_grid,
         return dict(
             it=c["it"] + 1,
             tobe=new_tobe,
-            gather_pose=gather_pose,
             converged=converged,
             P=P,
             degenerate=degenerate,
             have_P=have_P,
             nan_skip=c["nan_skip"] + (is_nan & enough).astype(jnp.int32),
-            cand_c=cand_c,
-            valid_c=valid_c,
-            cand_s=cand_s,
-            valid_s=valid_s,
+            **extra_out,
         )
 
     out = jax.lax.while_loop(cond, body, init)
@@ -293,16 +341,28 @@ def mapping_step(state: MapState, pose_sum, corner_last: PointCloud,
     surf_map = map_store.evict_outside_window(state.surf_map, center_cube, cfg)
 
     fov = map_store.local_cube_fov(center_cube, tobe, cfg)
-    corner_grid = map_store.build_search_grid(corner_map, center_cube, fov, cfg)
-    surf_grid = map_store.build_search_grid(surf_map, center_cube, fov, cfg)
+    if cfg.map_exact_knn:
+        corner_index = map_store.local_map_points(
+            corner_map, center_cube, fov, cfg.max_corner_from_map, cfg
+        )
+        surf_index = map_store.local_map_points(
+            surf_map, center_cube, fov, cfg.max_surf_from_map, cfg
+        )
+    else:
+        corner_index = map_store.build_search_grid(
+            corner_map, center_cube, fov, cfg
+        )
+        surf_index = map_store.build_search_grid(
+            surf_map, center_cube, fov, cfg
+        )
 
-    can_solve = (corner_grid.n_local > cfg.map_min_corner_from_map) & (
-        surf_grid.n_local > cfg.map_min_surf_from_map
+    can_solve = (corner_index.n_local > cfg.map_min_corner_from_map) & (
+        surf_index.n_local > cfg.map_min_surf_from_map
     )
     tobe, nan_skip = jax.lax.cond(
         can_solve,
         lambda t: gauss_newton_mapping(
-            t, corner_grid, surf_grid, corner_stack, surf_stack, cfg
+            t, corner_index, surf_index, corner_stack, surf_stack, cfg
         ),
         lambda t: (t, jnp.int32(0)),
         tobe,

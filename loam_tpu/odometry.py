@@ -249,13 +249,31 @@ def gauss_newton_odometry(transform0, feats: FeatureClouds,
             proj_c = transform_to_start(
                 sharp.xyz, sharp.sweep_time(), transform
             )
-            cj1, cj2 = _corner_correspondences(
-                proj_c, sharp.mask, corner_last, sharp.count(), cfg
-            )
             proj_s = transform_to_start(flat.xyz, flat.sweep_time(), transform)
-            sj1, sj2, sj3 = _surf_correspondences(
-                proj_s, flat.mask, surf_last, flat.count(), cfg
-            )
+            if jax.default_backend() == "tpu":
+                # fused streaming kernel: same break-bounded walk
+                # semantics without (Q, M) HBM intermediates
+                from .ops.pallas.odom_corr import odom_correspondences
+
+                cj1, cj2 = odom_correspondences(
+                    proj_c, sharp.mask, corner_last.xyz, corner_last.mask,
+                    corner_last.ring(), sharp.count(),
+                    cfg.odom_nn_gate_sq, cfg.ring_window,
+                    cfg.emulate_upward_scan_truncation, surf=False,
+                )
+                sj1, sj2, sj3 = odom_correspondences(
+                    proj_s, flat.mask, surf_last.xyz, surf_last.mask,
+                    surf_last.ring(), flat.count(),
+                    cfg.odom_nn_gate_sq, cfg.ring_window,
+                    cfg.emulate_upward_scan_truncation, surf=True,
+                )
+            else:
+                cj1, cj2 = _corner_correspondences(
+                    proj_c, sharp.mask, corner_last, sharp.count(), cfg
+                )
+                sj1, sj2, sj3 = _surf_correspondences(
+                    proj_s, flat.mask, surf_last, flat.count(), cfg
+                )
             return cj1, cj2, sj1, sj2, sj3
 
         cj1, cj2, sj1, sj2, sj3 = jax.lax.cond(

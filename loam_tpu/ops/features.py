@@ -143,21 +143,35 @@ def _upd(arr, i, val, pred):
     return arr.at[i].set(jnp.where(pred, val, arr[i]))
 
 
-def _suppress(picked, gap_sq, ind, take, gap_thr, n_sup):
-    """Mark +-n_sup neighbors of a pick, stopping at the first surface gap
-    > gap_thr (src/scanRegistration.cpp:494-520)."""
-    W = picked.shape[0]
-    ok = take
-    for l in range(1, n_sup + 1):
-        # gap between ind+l-1 and ind+l
-        ok = ok & (gap_sq[jnp.clip(ind + l - 1, 0, W - 1)] <= gap_thr)
-        picked = _upd(picked, jnp.clip(ind + l, 0, W - 1), True, ok)
-    ok = take
-    for l in range(1, n_sup + 1):
-        # gap between ind-l and ind-l+1
-        ok = ok & (gap_sq[jnp.clip(ind - l, 0, W - 1)] <= gap_thr)
-        picked = _upd(picked, jnp.clip(ind - l, 0, W - 1), True, ok)
-    return picked
+def _suppress_reach(gap_sq, gap_thr, n_sup):
+    """Precompute, per index, how far the +-n_sup suppression wave of a
+    pick travels before hitting a surface gap > gap_thr
+    (src/scanRegistration.cpp:494-520).  gap_sq[i] is the gap between i
+    and i+1.  Returns (up_reach, down_reach) int32 arrays: a pick at i
+    marks (i, i + up_reach[i]] upward and [i - down_reach[i], i) downward.
+    Gaps are pure cloud geometry, so one vectorized precompute replaces
+    the per-pick scatter walk."""
+    ok = gap_sq <= gap_thr
+    up = jnp.zeros_like(gap_sq, dtype=jnp.int32)
+    run = jnp.ones_like(ok)
+    for l in range(n_sup):
+        run = run & _shift(ok, -l, False)
+        up = up + run.astype(jnp.int32)
+    ok_dn = _shift(ok, 1, False)  # gap between i-1 and i
+    down = jnp.zeros_like(up)
+    run = jnp.ones_like(ok)
+    for l in range(n_sup):
+        run = run & _shift(ok_dn, l, False)
+        down = down + run.astype(jnp.int32)
+    return up, down
+
+
+def _apply_suppression(picked, iota, ind, take, up_reach, down_reach):
+    """Mark the pick and its gap-limited +-window in one vector op."""
+    up = up_reach[ind]
+    dn = down_reach[ind]
+    m = (iota >= ind - dn) & (iota <= ind + up)
+    return picked | (m & take)
 
 
 def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
@@ -172,6 +186,10 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
     SUBW = cfg.ring_width // cfg.n_subregions + 8
     labels0 = jnp.zeros((W,), jnp.int8)
     ok_ring = n >= 12
+    iota = jnp.arange(W)
+    up_reach, down_reach = _suppress_reach(
+        gap_sq, cfg.suppress_gap_sq, cfg.suppress_neighbors
+    )
 
     def subregion(carry, j):
         labels, picked = carry
@@ -195,8 +213,8 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
         rev = jnp.arange(SUBW)[::-1]
         order_desc = rev[jnp.argsort(-c_desc[rev], stable=True)]
 
-        def corner_step(t, st):
-            labels, picked, cnt, stopped = st
+        def corner_step(st):
+            labels, picked, cnt, stopped, t = st
             sub_i = order_desc[t]
             ind = idxc[sub_i]
             qualify = (
@@ -210,30 +228,33 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
             stopped = stopped | (
                 qualify & (newcnt > cfg.max_less_sharp_per_subregion)
             )
+            # exact early exit: the walk is curvature-descending, so once
+            # the current candidate fails the threshold (or is padding)
+            # nothing later can qualify (src/scanRegistration.cpp:477-480)
+            stopped = stopped | ~valid[sub_i] | (
+                curv[ind] <= cfg.curvature_threshold
+            )
             lab = jnp.where(
                 newcnt <= cfg.max_sharp_per_subregion, jnp.int8(2), jnp.int8(1)
             )
             labels = _upd(labels, ind, lab, take)
-            picked = _upd(picked, ind, True, take)
-            picked = _suppress(
-                picked, gap_sq, ind, take, cfg.suppress_gap_sq,
-                cfg.suppress_neighbors,
+            picked = _apply_suppression(
+                picked, iota, ind, take, up_reach, down_reach
             )
-            return labels, picked, newcnt, stopped
+            return labels, picked, newcnt, stopped, t + 1
 
         corner_k = cfg.corner_scan_k if cfg.corner_scan_k > 0 else SUBW
-        labels, picked, _, _ = jax.lax.fori_loop(
-            0,
-            corner_k,
+        labels, picked, _, _, _ = jax.lax.while_loop(
+            lambda st: (st[4] < corner_k) & ~st[3],
             corner_step,
-            (labels, picked, jnp.int32(0), jnp.bool_(False)),
+            (labels, picked, jnp.int32(0), jnp.bool_(False), jnp.int32(0)),
         )
 
         c_asc = jnp.where(valid, curv[idxc], POS_INF)
         order_asc = jnp.argsort(c_asc)
 
-        def flat_step(t, st):
-            labels, picked, cnt, stopped = st
+        def flat_step(st):
+            labels, picked, cnt, stopped, t = st
             sub_i = order_asc[t]
             ind = idxc[sub_i]
             qualify = (
@@ -245,21 +266,24 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
             newcnt = cnt + qualify.astype(jnp.int32)
             labels = _upd(labels, ind, jnp.int8(-1), qualify)
             stopped = stopped | (qualify & (newcnt >= cfg.max_flat_per_subregion))
+            # exact early exit: curvature-ascending walk — once the
+            # current candidate exceeds the threshold (or is padding)
+            # nothing later can qualify (src/scanRegistration.cpp:525-528)
+            stopped = stopped | ~valid[sub_i] | (
+                curv[ind] >= cfg.curvature_threshold
+            )
             # the reference breaks *before* marking the final flat pick
             mark = qualify & (newcnt < cfg.max_flat_per_subregion)
-            picked = _upd(picked, ind, True, mark)
-            picked = _suppress(
-                picked, gap_sq, ind, mark, cfg.suppress_gap_sq,
-                cfg.suppress_neighbors,
+            picked = _apply_suppression(
+                picked, iota, ind, mark, up_reach, down_reach
             )
-            return labels, picked, newcnt, stopped
+            return labels, picked, newcnt, stopped, t + 1
 
         flat_k = cfg.flat_scan_k if cfg.flat_scan_k > 0 else SUBW
-        labels, picked, _, _ = jax.lax.fori_loop(
-            0,
-            flat_k,
+        labels, picked, _, _, _ = jax.lax.while_loop(
+            lambda st: (st[4] < flat_k) & ~st[3],
             flat_step,
-            (labels, picked, jnp.int32(0), jnp.bool_(False)),
+            (labels, picked, jnp.int32(0), jnp.bool_(False), jnp.int32(0)),
         )
         return (labels, picked), None
 

@@ -10,6 +10,7 @@ and it batches across scenarios for free.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 BIG = jnp.float32(1e30)
@@ -23,7 +24,12 @@ def pairwise_sq_dists(q_xyz, r_xyz, r_mask):
     """
     q2 = jnp.sum(q_xyz * q_xyz, axis=-1, keepdims=True)
     r2 = jnp.sum(r_xyz * r_xyz, axis=-1)
-    cross = q_xyz @ r_xyz.T
+    # full f32 multiplies: the TPU matmul default is bf16, whose ~2^-8
+    # relative error on the cross term swamps centimetre neighbor gaps
+    cross = jax.lax.dot_general(
+        q_xyz, r_xyz, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     d2 = q2 - 2.0 * cross + r2[None, :]
     return jnp.where(r_mask[None, :], jnp.maximum(d2, 0.0), BIG)
 

@@ -72,7 +72,26 @@ def make_sharded_replay(mesh: Mesh, cfg: LoamConfig):
 
     Returns fn(raw_xyz (B, F, N, 3), raw_mask (B, F, N)) -> FrameOutput.
     B must be divisible by the dp axis size.
+
+    Scenarios are independent, so for pure-dp meshes the batch axis is
+    split with shard_map — each device compiles its local scenario slice
+    and NO cross-chip collectives can appear (GSPMD's auto-sharding was
+    observed to all-gather the per-scenario kNN candidate tensors across
+    dp, ~28 MB/step of needless ICI traffic).  Mixed dp x tp meshes keep
+    the GSPMD path (tp's psum must cross chips by design).
     """
+    if mesh.shape.get("tp", 1) == 1:
+        from jax.experimental.shard_map import shard_map
+
+        body = shard_map(
+            lambda x, m: _batched_replay(x, m, cfg),
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp")),
+            out_specs=P("dp"),
+            check_rep=False,
+        )
+        return jax.jit(body)
+
     data_spec = NamedSharding(mesh, P("dp"))
     # rows at the constraint point are (N, 6) inside vmap; the batching
     # rule lifts the constraint over the scenario axis (which dp shards)
@@ -94,6 +113,20 @@ def make_sharded_step(mesh: Mesh, cfg: LoamConfig):
     Returns fn(state, feats) -> (state, out) where every leaf of state /
     feats carries a leading scenario axis sharded over ``dp``.
     """
+    if mesh.shape.get("tp", 1) == 1:
+        from jax.experimental.shard_map import shard_map
+
+        body = shard_map(
+            lambda s, f: jax.vmap(
+                lambda s1, f1: pipeline.pipeline_step(s1, f1, None, cfg)
+            )(s, f),
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp")),
+            check_rep=False,
+        )
+        return jax.jit(body)
+
     data_spec = NamedSharding(mesh, P("dp"))
 
     def step(state, feats):

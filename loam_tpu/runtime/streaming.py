@@ -30,13 +30,16 @@ import threading
 from dataclasses import dataclass, field
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import LoamConfig
-from .. import frontend, odometry, mapping, pipeline
+from .. import frontend, imu as imu_mod, odometry, mapping, pipeline
 from ..ops.features import extract_features
 from ..utils import rotations
 from ..io.rosbag import _load as _load_native
+
+_IMU_WINDOW = 256  # per-sweep IMU window capacity (reference buffer: 200)
 
 
 class NativeQueue:
@@ -136,22 +139,73 @@ class StreamingEngine:
         self._busy = [False, False, False]  # frontend, odometry, mapping
 
         c = cfg
-        self._front = jax.jit(
-            lambda x, m: extract_features(frontend.ingest_sweep(x, m, c), c)
-        )
+
+        def _front_fn(x, m, it, irpy, iacc, imask, t_scan):
+            # per-sweep IMU window -> dead-reckoning -> deskewed ingest
+            # (the scanRegistration IMU path, src/scanRegistration.cpp:
+            # 286-347,638-660); an all-masked window degrades gracefully
+            # to the no-IMU path (SweepImu.valid gates the deskew)
+            stream = imu_mod.imu_from_raw(it, irpy, iacc, imask)
+            integ = imu_mod.integrate(stream, c)
+            sweep, imu_trans = frontend.ingest_sweep_imu(
+                x, m, c, stream, integ, t_scan
+            )
+            feats = extract_features(sweep, c)
+            # mapping blend input: IMU rpy at t_scan + scanPeriod
+            # (src/laserMapping.cpp:203-222)
+            rpy, ok = imu_mod.rpy_at(stream, t_scan + c.scan_period)
+            map_rpy = jnp.stack(
+                [rpy[0], rpy[2], ok.astype(jnp.float32)]
+            )
+            return feats, imu_trans, map_rpy
+
+        self._front = jax.jit(_front_fn)
         self._odom = jax.jit(
-            lambda s, f: odometry.odometry_step(s, f, None, c)
+            lambda s, f, it: odometry.odometry_step(s, f, it, c)
         )
         self._map = jax.jit(
-            lambda s, p, cl, su: mapping.mapping_step(s, p, cl, su, None, c)
+            lambda s, p, cl, su, mr: mapping.mapping_step(
+                s, p, cl, su, mr, c
+            )
         )
         self._odom_state = odometry.OdomState.create(cfg)
         self._map_state = mapping.MapState.create(cfg)
         # transformMaintenance pose pair (src/transformMaintenance.cpp:52-58)
         self._bef = np.zeros(6, np.float32)
         self._aft = np.zeros(6, np.float32)
+        # host-side IMU ring buffer (the reference's 200-entry circular
+        # buffer, src/scanRegistration.cpp:68-99)
+        self._imu_lock = threading.Lock()
+        self._imu_t = np.zeros(0, np.float32)
+        self._imu_rpy = np.zeros((0, 3), np.float32)
+        self._imu_acc = np.zeros((0, 3), np.float32)
+        self._sweep_clock = 0.0
 
     # ---- stage loops ----
+
+    def _imu_window(self, t_scan: float):
+        """Snapshot the per-sweep IMU window [t_scan - 0.05,
+        t_scan + scanPeriod + 0.05] into fixed-capacity arrays."""
+        ts = np.zeros(_IMU_WINDOW, np.float32)
+        rp = np.zeros((_IMU_WINDOW, 3), np.float32)
+        ac = np.zeros((_IMU_WINDOW, 3), np.float32)
+        mk = np.zeros(_IMU_WINDOW, bool)
+        with self._imu_lock:
+            t = self._imu_t
+            lo = int(np.searchsorted(t, t_scan - 0.05))
+            hi = min(
+                int(np.searchsorted(
+                    t, t_scan + self.cfg.scan_period + 0.05
+                )),
+                lo + _IMU_WINDOW,
+            )
+            n = hi - lo
+            if n > 0:
+                ts[:n] = t[lo:hi]
+                rp[:n] = self._imu_rpy[lo:hi]
+                ac[:n] = self._imu_acc[lo:hi]
+                mk[:n] = True
+        return ts, rp, ac, mk
 
     def _frontend_loop(self):
         while not self._stop.is_set():
@@ -160,23 +214,31 @@ class StreamingEngine:
                 continue
             self._busy[0] = True
             try:
-                xyz, m = item
-                feats = self._front(xyz, m)
-                self.q_feats.push(feats)
+                xyz, m, t_scan = item
+                ts, rp, ac, mk = self._imu_window(float(t_scan))
+                feats, imu_trans, map_rpy = self._front(
+                    xyz, m, jax.numpy.asarray(ts), jax.numpy.asarray(rp),
+                    jax.numpy.asarray(ac), jax.numpy.asarray(mk),
+                    jax.numpy.asarray(np.float32(t_scan)),
+                )
+                self.q_feats.push((feats, imu_trans, map_rpy))
             finally:
                 self._busy[0] = False
 
     def _odometry_loop(self):
         while not self._stop.is_set():
-            feats = self.q_feats.pop(timeout_ms=100)
-            if feats is None:
+            item = self.q_feats.pop(timeout_ms=100)
+            if item is None:
                 continue
             self._busy[1] = True
-            self._process_odom(feats)
+            self._process_odom(item)
             self._busy[1] = False
 
-    def _process_odom(self, feats):
-        self._odom_state, out = self._odom(self._odom_state, feats)
+    def _process_odom(self, item):
+        feats, imu_trans, map_rpy = item
+        self._odom_state, out = self._odom(
+            self._odom_state, feats, imu_trans
+        )
         self.stats_.odom_frames += 1
         pose = np.asarray(out.pose)
         # transformMaintenance: integrate odometry with the latest
@@ -192,7 +254,9 @@ class StreamingEngine:
             self._trajectory.append(integrated)
         self.stats_.integrated += 1
         if bool(np.asarray(out.publish_to_mapping)):
-            self.q_map.push((pose, out.corner_last, out.surf_last))
+            self.q_map.push(
+                (pose, out.corner_last, out.surf_last, map_rpy)
+            )
 
     def _mapping_loop(self):
         while not self._stop.is_set():
@@ -201,10 +265,10 @@ class StreamingEngine:
                 continue
             self._busy[2] = True
             try:
-                pose, corner_last, surf_last = item
+                pose, corner_last, surf_last, map_rpy = item
                 self._map_state, mout = self._map(
                     self._map_state, jax.numpy.asarray(pose), corner_last,
-                    surf_last,
+                    surf_last, map_rpy,
                 )
                 self.stats_.map_frames += 1
                 with self._pose_lock:
@@ -224,13 +288,33 @@ class StreamingEngine:
             t.start()
             self._threads.append(t)
 
-    def push_sweep(self, xyz, mask) -> bool:
+    def push_sweep(self, xyz, mask, t_scan: float | None = None) -> bool:
         """Feed one raw sweep (non-blocking; oldest dropped under load,
-        like the reference's lossy subscriber queues)."""
+        like the reference's lossy subscriber queues).  t_scan: sweep
+        start time; defaults to a 10 Hz wall clock."""
+        if t_scan is None:
+            t_scan = self._sweep_clock
+            self._sweep_clock += self.cfg.scan_period
         self.stats_.frames_in += 1
         return self.q_raw.push(
-            (jax.numpy.asarray(xyz), jax.numpy.asarray(mask))
+            (jax.numpy.asarray(xyz), jax.numpy.asarray(mask),
+             float(t_scan))
         )
+
+    def push_imu(self, t, rpy, acc_velodyne) -> None:
+        """Feed one IMU sample — the imuHandler subscription
+        (src/scanRegistration.cpp:638-660).  rpy: (roll, pitch, yaw) from
+        the orientation quaternion; acc_velodyne: raw velodyne-frame
+        linear acceleration (gravity removal happens on-device in
+        imu_from_raw)."""
+        with self._imu_lock:
+            self._imu_t = np.append(self._imu_t, np.float32(t))[-2048:]
+            self._imu_rpy = np.vstack(
+                [self._imu_rpy, np.asarray(rpy, np.float32)[None]]
+            )[-2048:]
+            self._imu_acc = np.vstack(
+                [self._imu_acc, np.asarray(acc_velodyne, np.float32)[None]]
+            )[-2048:]
 
     def latest_pose(self) -> np.ndarray:
         with self._pose_lock:

@@ -23,11 +23,23 @@ from golden.pipeline import run_pipeline
 F = 100
 N_AZIMUTH = 600
 
+# the 100-frame gate runs the bounded-memory cell-bucket mapping variant
+# (CPU-affordable); the exact-kNN flagship path — strictly closer to the
+# reference's per-iteration kd re-query — gets its own shorter gate below
 CFG = dataclasses.replace(
     LoamConfig(),
     ring_width=1024,
     corner_table_size=1 << 15,
     surf_table_size=1 << 17,
+    map_exact_knn=False,
+)
+CFG_EXACT = dataclasses.replace(
+    LoamConfig(),
+    ring_width=1024,
+    corner_table_size=1 << 15,
+    surf_table_size=1 << 17,
+    max_corner_from_map=16384,
+    max_surf_from_map=32768,
 )
 
 
@@ -98,6 +110,21 @@ def test_mapping_cadence_parity(straight_runs):
     there, src/laserOdometry.cpp:427-456)."""
     oracle, outs, _ = straight_runs
     assert np.array_equal(np.asarray(outs.mapped), oracle["mapped"])
+
+
+def test_exact_knn_parity_short(straight_runs):
+    """The exact-kNN mapping path (per-iteration re-query, the
+    reference's own semantics at src/laserMapping.cpp:717,824) holds the
+    same gate over the first 30 frames."""
+    oracle, _, _ = straight_runs
+    raw, msk, _ = _make_sequence("straight")
+    outs = pipeline.replay_sweeps(
+        jnp.asarray(raw[:30]), jnp.asarray(msk[:30]), CFG_EXACT
+    )
+    est = np.asarray(outs.pose_integrated)[:, 3:6]
+    ref = oracle["integrated"][:30, 3:6]
+    ate = metrics.ate_rmse(est, ref)
+    assert ate < 0.05, f"exact-kNN integrated ATE vs oracle {100*ate:.2f} cm"
 
 
 def test_rotation_parity(straight_runs):

@@ -20,12 +20,22 @@ from loam_tpu.io import synth
 from loam_tpu import frontend, mapping, odometry
 from loam_tpu.ops.features import extract_features
 
+# the cached-candidate (cell-bucket) mapping variant — the exact-kNN
+# default re-queries every iteration and is covered by
+# test_perturbed_prior_converges_exact_path below
 CFG = dataclasses.replace(
     LoamConfig(),
     ring_width=1024,
     corner_table_size=1 << 14,
     surf_table_size=1 << 15,
     search_buckets=1 << 12,
+    map_exact_knn=False,
+)
+CFG_EXACT = dataclasses.replace(
+    CFG,
+    map_exact_knn=True,
+    max_corner_from_map=8192,
+    max_surf_from_map=16384,
 )
 
 
@@ -76,6 +86,30 @@ def test_perturbed_prior_converges_with_regather():
         # the solve must pull the perturbed prior back to the clean
         # refined pose within a few cm (the map anchors it)
         assert err < 0.05, f"prior off by {mag} m -> aft err {err:.3f} m"
+
+
+def test_perturbed_prior_converges_exact_path():
+    """The flagship exact-kNN path re-queries every iteration, so a
+    0.5 m-perturbed prior must converge back to the clean refined pose
+    by construction."""
+    mstate, out = _built_map()
+    _, clean = mapping.mapping_step(
+        mstate, out.pose, out.corner_last, out.surf_last, None, CFG_EXACT
+    )
+    assert bool(clean.solved)
+    rng = np.random.default_rng(2)
+    d = rng.normal(size=3)
+    d = d / np.linalg.norm(d) * 0.5
+    bad_pose = jnp.asarray(np.asarray(out.pose) + np.concatenate(
+        [np.zeros(3), d]
+    ), jnp.float32)
+    _, pert = mapping.mapping_step(
+        mstate, bad_pose, out.corner_last, out.surf_last, None, CFG_EXACT
+    )
+    err = np.linalg.norm(
+        np.asarray(pert.pose_aft)[3:] - np.asarray(clean.pose_aft)[3:]
+    )
+    assert err < 0.05, err
 
 
 def test_perturbed_prior_diverges_without_regather():
