@@ -180,7 +180,7 @@ def main():
             f.write("\n".join(lines) + "\n")
         return
 
-    B = int(args[0]) if args else 32
+    B = int(args[0]) if args else 8
     F = int(args[1]) if len(args) > 1 else 16
     r = run_once(B, F)
     value = r["scan_matches_per_s_per_chip"]

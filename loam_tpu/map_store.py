@@ -284,10 +284,13 @@ def local_map_points(table: VoxelTable, center_cube, fov, cap: int,
     offc = jnp.clip(off + r, 0, 2 * r)
     fov_ok = fov[offc[:, 0], offc[:, 1], offc[:, 2]]
     keep = in_region & fov_ok
-    order = jnp.argsort(jnp.logical_not(keep))[:cap]
-    m = keep[order]
+    # cumsum + scatter compaction (no argsort over the whole table)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot = jnp.where(keep & (pos < cap), pos, cap)
+    xyz = jnp.zeros((cap + 1, 3), cent.dtype).at[slot].set(cent)[:cap]
+    m = jnp.zeros((cap + 1,), bool).at[slot].set(keep)[:cap]
     return LocalMap(
-        xyz=jnp.where(m[:, None], cent[order], 0.0),
+        xyz=xyz,
         mask=m,
         n_local=jnp.sum(keep.astype(jnp.int32)),
     )

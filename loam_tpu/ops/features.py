@@ -295,13 +295,14 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
 
 def _compact(xyz, rel, mask, cap):
     """Stable compaction of masked points into a fixed-capacity cloud
-    (ring-major order preserved)."""
-    order = jnp.argsort(jnp.logical_not(mask), stable=True)[:cap]
-    m = mask[order]
+    (ring-major order preserved).  cumsum + scatter — O(n), no sort."""
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask & (pos < cap), pos, cap)
+    out_xyz = jnp.zeros((cap + 1, 3), xyz.dtype).at[slot].set(xyz)
+    out_rel = jnp.zeros((cap + 1,), rel.dtype).at[slot].set(rel)
+    out_m = jnp.zeros((cap + 1,), bool).at[slot].set(mask)
     return PointCloud(
-        xyz=jnp.where(m[:, None], xyz[order], 0.0),
-        rel=jnp.where(m, rel[order], 0.0),
-        mask=m,
+        xyz=out_xyz[:cap], rel=out_rel[:cap], mask=out_m[:cap]
     )
 
 
@@ -326,8 +327,12 @@ def extract_features(sweep: Sweep, cfg: LoamConfig = LoamConfig()) -> FeatureClo
     # ring rows.
     n_scans, W = sweep.mask.shape
     flat_mask0 = sweep.mask.reshape(-1)
-    order = jnp.argsort(jnp.logical_not(flat_mask0), stable=True)
-    xyz_c = sweep.xyz.reshape(-1, 3)[order]
+    flat_xyz0 = sweep.xyz.reshape(-1, 3)
+    pos0 = jnp.cumsum(flat_mask0.astype(jnp.int32)) - 1
+    slot0 = jnp.where(flat_mask0, pos0, n_scans * W)
+    xyz_c = jnp.zeros(
+        (n_scans * W + 1, 3), flat_xyz0.dtype
+    ).at[slot0].set(flat_xyz0)[:-1]
     n_total = jnp.sum(flat_mask0.astype(jnp.int32))
     picked_c, _ = ring_prefilter(xyz_c, n_total, cfg)
     ring_starts = jnp.concatenate(
