@@ -270,12 +270,25 @@ class LocalMap:
 
     xyz: jax.Array      # (cap, 3)
     mask: jax.Array     # (cap,)
-    n_local: jax.Array  # () int32
+    n_local: jax.Array  # () int32 — FULL keep count (may exceed cap)
+
+    def overflow(self) -> jax.Array:
+        """Centroids dropped by capacity truncation (n_local beyond cap).
+
+        The reference concatenates all 5x5x5 cube clouds unbounded
+        (src/laserMapping.cpp:674-681); this compacted block caps at
+        `cap` and DROPS the rest, so a nonzero overflow means the
+        exact-kNN path searched an incomplete local map.  Surfaced in
+        MapState.local_map_overflow so dense/long runs can detect it."""
+        return jnp.maximum(self.n_local - self.mask.shape[-1], 0)
 
 
 def local_map_points(table: VoxelTable, center_cube, fov, cap: int,
                      cfg: LoamConfig) -> LocalMap:
-    """Compact the local-region (5x5x5 cubes, FOV-culled) centroids."""
+    """Compact the local-region (5x5x5 cubes, FOV-culled) centroids.
+
+    n_local reports the full keep count; entries beyond `cap` are
+    truncated from xyz/mask (detectable via LocalMap.overflow())."""
     cent = table.centroids()
     cubes = entry_cubes(table)
     off = cubes - center_cube[None, :]

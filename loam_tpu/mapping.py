@@ -32,6 +32,12 @@ class MapState:
     transform_bef: jax.Array   # (6,) odometry pose at last mapping frame
     transform_aft: jax.Array   # (6,) mapped pose at last mapping frame
     nan_skips: jax.Array       # () int32
+    # running count of local-map centroids dropped by the exact-kNN
+    # compaction caps (LocalMap.overflow()); nonzero = the solve matched
+    # against an incomplete local map, raise max_{corner,surf}_from_map
+    local_map_overflow: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.array(0, jnp.int32)
+    )
 
     @staticmethod
     def create(cfg: LoamConfig) -> "MapState":
@@ -348,7 +354,9 @@ def mapping_step(state: MapState, pose_sum, corner_last: PointCloud,
         surf_index = map_store.local_map_points(
             surf_map, center_cube, fov, cfg.max_surf_from_map, cfg
         )
+        overflow = corner_index.overflow() + surf_index.overflow()
     else:
+        overflow = jnp.int32(0)
         corner_index = map_store.build_search_grid(
             corner_map, center_cube, fov, cfg
         )
@@ -417,6 +425,7 @@ def mapping_step(state: MapState, pose_sum, corner_last: PointCloud,
         transform_bef=new_bef,
         transform_aft=new_aft,
         nan_skips=state.nan_skips + nan_skip,
+        local_map_overflow=state.local_map_overflow + overflow,
     )
     # the published pose pair is the post-gate transformAftMapped /
     # transformBefMapped (src/laserMapping.cpp:1071-1087) — stale when the

@@ -60,7 +60,8 @@ def _insert_sorted_keys(state_k, state_i, v, vi):
     return new_k, new_i
 
 
-def _knn_kernel(q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out, *, k, tm):
+def _knn_kernel(nl_ref, q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out,
+                *, k, tm):
     """One query block vs the whole reference set, tiled over M.
 
     Top-k trick: clamp d2 >= 0, bitcast to int32 (monotonic for
@@ -70,11 +71,21 @@ def _knn_kernel(q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out, *, k, tm):
     distances are recomputed by the caller from the returned indices, so
     the packing's ~2^-12 relative truncation only affects ordering of
     near-identical neighbors.
+
+    nl_ref (scalar prefetch): live reference count.  Valid entries are
+    compacted to the front (feature clouds via features._compact, local
+    maps via map_store.local_map_points), so tiles past
+    ceil(n_live / tm) hold only masked padding (r2 = BIG) and are
+    skipped — the capacity M is a worst-case bound, typically 1.5-3x the
+    live size, and brute-force cost scales with the LIVE size only.
     """
     TQ = q3_ref.shape[1]
     M = r3_ref.shape[1]
     q3 = q3_ref[:, :]                       # (3, TQ)
     q2 = q2_ref[0, :]                       # (TQ,)
+    # >= 1 so an empty reference still yields BIG distances (not the
+    # NaN-bitcast sentinel the caller's validity gate cannot see)
+    n_tiles = jnp.clip((nl_ref[0] + tm - 1) // tm, 1, M // tm)
 
     col_bits = max((tm - 1).bit_length(), 1)
     low_mask = (1 << col_bits) - 1
@@ -111,7 +122,7 @@ def _knn_kernel(q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out, *, k, tm):
         return state_k, state_i
 
     state_k, state_i = jax.lax.fori_loop(
-        0, M // tm, body, (state_k, state_i)
+        0, n_tiles, body, (state_k, state_i)
     )
     d_out[:, :] = jax.lax.bitcast_convert_type(
         state_k & high_mask, jnp.float32
@@ -119,9 +130,10 @@ def _knn_kernel(q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out, *, k, tm):
     i_out[:, :] = state_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tq", "tm"))
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "interpret"))
 def knn_topk(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5,
-             tq: int = 256, tm: int = 2048):
+             tq: int = 256, tm: int = 2048, interpret: bool = False,
+             n_ref=None):
     """Exact k nearest reference points for every query.
 
     q_xyz (Q, 3), ref_xyz (M, 3) with validity masks.  Q must be a
@@ -129,10 +141,19 @@ def knn_topk(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5,
     (idx (Q, k) int32 nearest-first, d2 (Q, k)); masked reference slots
     never appear (their distance is ~1e30), masked queries return
     garbage rows the caller must gate.
+
+    n_ref: optional live count when valid entries are compacted to the
+    front — tiles wholly past it are skipped (cost scales with the live
+    size, not the padded capacity).  Defaults to sum(ref_mask), which is
+    only a valid bound for front-compacted clouds; pass M explicitly for
+    scattered masks.
     """
     Q = q_xyz.shape[0]
     M = ref_xyz.shape[0]
     assert Q % tq == 0 and M % tm == 0, (Q, tq, M, tm)
+
+    if n_ref is None:
+        n_ref = jnp.sum(ref_mask.astype(jnp.int32))
 
     q3 = q_xyz.T.astype(jnp.float32)                      # (3, Q)
     r3 = ref_xyz.T.astype(jnp.float32)                    # (3, M)
@@ -140,26 +161,29 @@ def knn_topk(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5,
     r2 = jnp.sum(ref_xyz * ref_xyz, axis=1)
     r2 = jnp.where(ref_mask, r2, BIG)[None, :]            # (1, M)
 
-    grid = (Q // tq,)
-    d2, idx = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, tm=tm),
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Q // tq,),
         in_specs=[
-            pl.BlockSpec((3, tq), lambda i: (0, i),
+            pl.BlockSpec((3, tq), lambda i, nl: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq), lambda i: (0, i),
+            pl.BlockSpec((1, tq), lambda i, nl: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, M), lambda i: (0, 0),
+            pl.BlockSpec((3, M), lambda i, nl: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), lambda i: (0, 0),
+            pl.BlockSpec((1, M), lambda i, nl: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq, k), lambda i: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, nl: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, k), lambda i: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, nl: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    d2, idx = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, tm=tm),
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Q, k), jnp.float32),
             jax.ShapeDtypeStruct((Q, k), jnp.int32),
@@ -169,7 +193,8 @@ def knn_topk(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5,
             bytes_accessed=(Q * 3 + M * 3 + Q + M) * 4 + Q * k * 8,
             transcendentals=0,
         ),
-    )(q3, q2, r3, r2)
+        interpret=interpret,
+    )(jnp.asarray([n_ref], jnp.int32), q3, q2, r3, r2)
     del q_mask  # masked queries are gated by the caller's d2 gate
     return idx, d2
 
@@ -211,11 +236,13 @@ def _tile(n, prefs):
 
 def knn_points(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5):
     """Dispatch: Pallas on TPU, jnp elsewhere.  Returns (pts (Q, k, 3),
-    d2 (Q, k)) nearest-first — the shape the mapping residuals consume."""
+    d2 (Q, k)) nearest-first — the shape the mapping residuals consume.
+    ref must be front-compacted (true for feature clouds and LocalMap)."""
     # recenter on the reference cloud: the |q|^2 - 2q.r + |r|^2 form loses
     # ~eps*|q||r| to cancellation for neighbors much closer than the
     # origin distance (kilometres into a trajectory, this would dominate)
-    n_ref = jnp.maximum(jnp.sum(ref_mask.astype(jnp.float32)), 1.0)
+    n_live = jnp.sum(ref_mask.astype(jnp.int32))
+    n_ref = jnp.maximum(n_live.astype(jnp.float32), 1.0)
     center = jnp.sum(
         jnp.where(ref_mask[:, None], ref_xyz, 0.0), axis=0
     ) / n_ref
@@ -225,7 +252,8 @@ def knn_points(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5):
     if jax.default_backend() == "tpu":
         tq = _tile(q_xyz.shape[0], (256, 128, 64, 32, 16, 8))
         tm = _tile(ref_xyz.shape[0], (2048, 1024, 512, 256, 128))
-        idx, d2k = knn_topk(qc, q_mask, rc, ref_mask, k, tq=tq, tm=tm)
+        idx, d2k = knn_topk(qc, q_mask, rc, ref_mask, k, tq=tq, tm=tm,
+                            n_ref=n_live)
         invalid = d2k > 1e28
     else:
         idx, d2k = knn_topk_reference(qc, q_mask, rc, ref_mask, k)

@@ -48,11 +48,17 @@ def _tile_key(d2, col_bits):
 
 
 def _merge(best_d, best_i, key, base, col_bits):
-    """Merge a tile's masked packed keys into the running (d_bits, idx)."""
+    """Merge a tile's masked packed keys into the running (d_bits, idx).
+
+    An all-ineligible tile yields min(key) == _INT_BIG, whose
+    mantissa-truncated high bits would compare BELOW the initial best_d
+    sentinel and smuggle in a garbage index; real packed keys can never
+    equal _INT_BIG (distances are <= ~1e30), so gate on it explicitly.
+    """
     m = jnp.min(key, axis=1)
     d = m & -(1 << col_bits)
     i = base + (m & ((1 << col_bits) - 1))
-    upd = d < best_d
+    upd = (m != jnp.int32(_INT_BIG)) & (d < best_d)
     return jnp.where(upd, d, best_d), jnp.where(upd, i, best_i)
 
 
@@ -66,6 +72,10 @@ def _corr_kernel(nq_ref, q3_ref, q2_ref, r3_ref, r2_ref, ring_ref, cr_ref,
     cr = cr_ref[0, :]                        # (TQ,) float ring of the 1-NN
     j1 = j1_ref[0, :]                        # (TQ,) int32 1-NN index
     n_q = nq_ref[0]
+    # live reference count: the last cloud is front-compacted, so tiles
+    # wholly past it are all padding (ring 1e6 = upward break, r2 = BIG)
+    # and contribute nothing — skip them
+    n_tiles = jnp.clip((nq_ref[1] + tm - 1) // tm, 1, M // tm)
 
     int_big = jnp.int32(_INT_BIG)
     state = dict(
@@ -160,7 +170,7 @@ def _corr_kernel(nq_ref, q3_ref, q2_ref, r3_ref, r2_ref, ring_ref, cr_ref,
         )
         return new
 
-    st = jax.lax.fori_loop(0, M // tm, body, state)
+    st = jax.lax.fori_loop(0, n_tiles, body, state)
 
     # the upward walk runs first in the reference, so it wins ties
     up_better2 = st["b2_d"] <= st["b2d_d"]
@@ -173,9 +183,9 @@ def _corr_kernel(nq_ref, q3_ref, q2_ref, r3_ref, r2_ref, ring_ref, cr_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("surf", "window", "truncate",
-                                              "tq", "tm"))
-def _corr_pallas(q_xyz, cr, j1, ref_xyz, r2m, ring_m, n_q, *, surf,
-                 window, truncate, tq, tm):
+                                              "tq", "tm", "interpret"))
+def _corr_pallas(q_xyz, cr, j1, ref_xyz, r2m, ring_m, n_q, n_ref, *, surf,
+                 window, truncate, tq, tm, interpret=False):
     Q = q_xyz.shape[0]
     M = ref_xyz.shape[0]
     q3 = q_xyz.T.astype(jnp.float32)
@@ -218,8 +228,10 @@ def _corr_pallas(q_xyz, cr, j1, ref_xyz, r2m, ring_m, n_q, *, surf,
             jax.ShapeDtypeStruct((1, Q), jnp.int32),
             jax.ShapeDtypeStruct((1, Q), jnp.int32),
         ],
+        interpret=interpret,
     )(
-        jnp.asarray([n_q], jnp.int32),
+        jnp.stack([jnp.asarray(n_q, jnp.int32),
+                   jnp.asarray(n_ref, jnp.int32)]),
         q3, q2, r3, r2m[None, :], ring_m[None, :],
         cr[None, :], j1[None, :],
     )
@@ -228,7 +240,7 @@ def _corr_pallas(q_xyz, cr, j1, ref_xyz, r2m, ring_m, n_q, *, surf,
 
 def odom_correspondences(proj, q_mask, ref_xyz, ref_mask, ref_ring, n_q,
                          gate_sq: float, window: float, truncate: bool,
-                         surf: bool):
+                         surf: bool, interpret: bool = False):
     """TPU path for the odometry correspondence search.  Returns
     (j1, j2[, j3]) with the reference's strict gates applied; -1 where no
     candidate qualifies."""
@@ -240,14 +252,15 @@ def odom_correspondences(proj, q_mask, ref_xyz, ref_mask, ref_ring, n_q,
     tm = _tile(M, (2048, 1024, 512, 256, 128))
 
     # recenter for cancellation (distances invariant)
-    n_ref = jnp.maximum(jnp.sum(ref_mask.astype(jnp.float32)), 1.0)
+    n_live = jnp.sum(ref_mask.astype(jnp.int32))
     center = jnp.sum(
         jnp.where(ref_mask[:, None], ref_xyz, 0.0), axis=0
-    ) / n_ref
+    ) / jnp.maximum(n_live.astype(jnp.float32), 1.0)
     qc = proj - center
     rc = ref_xyz - center
 
-    idx1, _ = knn_topk(qc, None, rc, ref_mask, 1, tq=tq, tm=tm)
+    idx1, _ = knn_topk(qc, None, rc, ref_mask, 1, tq=tq, tm=tm,
+                       interpret=interpret, n_ref=n_live)
     j1_raw = idx1[:, 0]
 
     def exact_d2(j):
@@ -270,16 +283,22 @@ def odom_correspondences(proj, q_mask, ref_xyz, ref_mask, ref_ring, n_q,
     )
 
     j2_raw, j3_raw = _corr_pallas(
-        qc, cr, jnp.clip(j1, 0, M - 1), rc, r2m, ring_m, n_q,
+        qc, cr, jnp.clip(j1, 0, M - 1), rc, r2m, ring_m, n_q, n_live,
         surf=surf, window=window, truncate=truncate, tq=tq, tm=tm,
+        interpret=interpret,
     )
     ok1 = j1 >= 0
+
+    def valid(j):
+        # defense in depth: never accept a padding/masked reference slot
+        return (j >= 0) & ref_mask[jnp.clip(j, 0, M - 1)]
+
     j2 = jnp.where(
-        ok1 & (j2_raw >= 0) & (exact_d2(j2_raw) < gate_sq), j2_raw, -1
+        ok1 & valid(j2_raw) & (exact_d2(j2_raw) < gate_sq), j2_raw, -1
     )
     if not surf:
         return j1, j2
     j3 = jnp.where(
-        ok1 & (j3_raw >= 0) & (exact_d2(j3_raw) < gate_sq), j3_raw, -1
+        ok1 & valid(j3_raw) & (exact_d2(j3_raw) < gate_sq), j3_raw, -1
     )
     return j1, j2, j3

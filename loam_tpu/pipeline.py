@@ -51,15 +51,35 @@ class FrameOutput:
     registered: "object" = None
 
 
+def mapping_frame(k: int, cfg: LoamConfig) -> bool:
+    """Whether mapping runs at (0-based) frame k — the host-side mirror
+    of the odometry's skip-frame counter: frame 0 is the init frame
+    (publishes clouds, no pose, src/laserOdometry.cpp:427-456), the
+    counter starts at skipFrameNum so the FIRST solve publishes, then
+    every (skipFrameNum+1)-th (src/laserOdometry.cpp:51,466-474,886)."""
+    return k >= 1 and (k - 1) % (cfg.skip_frame_num + 1) == 0
+
+
 def pipeline_step(state: PipelineState, feats: FeatureClouds,
                   imu: ImuTrans | None, cfg: LoamConfig,
-                  map_rpy: jax.Array | None = None):
+                  map_rpy: jax.Array | None = None,
+                  do_mapping: bool | None = None):
     """One frame through odometry -> (every 2nd frame) mapping ->
     integration.
 
     map_rpy: optional (2,) [pitch, roll] — the IMU stream interpolated at
     the sweep-end time t_scan + scanPeriod, consumed by the mapping
-    0.998/0.002 blend (src/laserMapping.cpp:203-225)."""
+    0.998/0.002 blend (src/laserMapping.cpp:203-225).
+
+    do_mapping: static cadence override.  None (default) keeps the
+    runtime lax.cond on the odometry's publish flag — correct anywhere,
+    but under vmap (scenario-batched replay) a batched cond lowers to
+    both-branches-plus-select, paying the mapping solve on EVERY frame.
+    The skip-frame cadence is a pure function of the frame index
+    (mapping at frames 1, 1+(skip+1), ...: src/laserOdometry.cpp:51,886),
+    identical across lockstep scenarios, so a host/pair-scan driver can
+    resolve it statically: True runs mapping unconditionally, False skips
+    it.  Callers must match the odometry cadence (see mapping_frame)."""
     odom_state, odom_out = odometry.odometry_step(state.odom, feats, imu, cfg)
     full = odom_out.full if cfg.emit_registered else None
 
@@ -83,9 +103,14 @@ def pipeline_step(state: PipelineState, feats: FeatureClouds,
             registered=reg,
         )
 
-    map_state, map_out = jax.lax.cond(
-        odom_out.publish_to_mapping, run_mapping, skip_mapping, state.map
-    )
+    if do_mapping is None:
+        map_state, map_out = jax.lax.cond(
+            odom_out.publish_to_mapping, run_mapping, skip_mapping, state.map
+        )
+    elif do_mapping:
+        map_state, map_out = run_mapping(state.map)
+    else:
+        map_state, map_out = skip_mapping(state.map)
 
     # transformMaintenance (src/transformMaintenance.cpp:147-180): re-apply
     # the latest mapping correction to the 10 Hz odometry pose

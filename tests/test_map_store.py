@@ -107,3 +107,28 @@ def test_fov_culling():
     assert fov[2, 2, 2]  # own cube always has corners in the band
     assert fov[2, 2, 4] and fov[2, 2, 0]  # ahead/behind horizontally
     assert fov[0, 2, 2] and fov[4, 2, 2]  # left/right
+
+
+def test_local_map_overflow_detectable():
+    # more in-region centroids than cap: mask saturates at cap, n_local
+    # reports the full keep count, overflow() exposes the drop (advisor
+    # round 2: truncation must not be silent)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-5, 5, (600, 3)).astype(np.float32)
+    table = map_store.VoxelTable.create(CFG.corner_table_size)
+    table = _insert_points(table, pts, 0.2, CFG)
+    n_live = int(table.n_live())
+    tobe = jnp.zeros(6)
+    center = jnp.zeros(3, jnp.int32)
+    fov = map_store.local_cube_fov(center, tobe, CFG)
+    fov = jnp.ones_like(fov)  # isolate capacity behavior from culling
+
+    cap = 128
+    small = map_store.local_map_points(table, center, fov, cap, CFG)
+    assert int(small.n_local) == n_live
+    assert int(jnp.sum(small.mask)) == cap
+    assert int(small.overflow()) == n_live - cap
+
+    big = map_store.local_map_points(table, center, fov, 1024, CFG)
+    assert int(big.overflow()) == 0
+    assert int(jnp.sum(big.mask)) == n_live

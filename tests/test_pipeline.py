@@ -65,3 +65,41 @@ def test_full_pipeline_turning():
     gt_pos = gt[1 : N_FRAMES + 1, 3:6]
     ate = metrics.ate_rmse(est_pos, gt_pos)
     assert ate < 0.06, ate
+
+
+def test_static_cadence_matches_dynamic():
+    """pipeline_step(do_mapping=<static>) driven by pipeline.mapping_frame
+    must reproduce the runtime-cond path bit-for-bit (the batched-replay
+    fast path relies on this equivalence)."""
+    import jax
+    from loam_tpu import frontend
+    from loam_tpu.ops.features import extract_features
+
+    raw, mask, _ = _make_sequence(seed=2, speed=0.8, yaw_rate=0.05)
+    F = 8
+    feats = jax.vmap(
+        lambda x, m: extract_features(frontend.ingest_sweep(x, m, CFG), CFG)
+    )(jnp.asarray(raw[:F]), jnp.asarray(mask[:F]))
+
+    dyn = jax.jit(lambda s, f: pipeline.pipeline_step(s, f, None, CFG))
+    st_map = jax.jit(
+        lambda s, f: pipeline.pipeline_step(s, f, None, CFG, do_mapping=True)
+    )
+    st_nomap = jax.jit(
+        lambda s, f: pipeline.pipeline_step(s, f, None, CFG, do_mapping=False)
+    )
+
+    s_dyn = pipeline.PipelineState.create(CFG)
+    s_st = pipeline.PipelineState.create(CFG)
+    for k in range(F):
+        f = jax.tree_util.tree_map(lambda x: x[k], feats)
+        s_dyn, o_dyn = dyn(s_dyn, f)
+        step = st_map if pipeline.mapping_frame(k, CFG) else st_nomap
+        s_st, o_st = step(s_st, f)
+        assert bool(o_dyn.mapped) == pipeline.mapping_frame(k, CFG), k
+        np.testing.assert_array_equal(
+            np.asarray(o_dyn.pose_integrated), np.asarray(o_st.pose_integrated)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(s_dyn.map.transform_aft), np.asarray(s_st.map.transform_aft)
+    )
