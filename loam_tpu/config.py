@@ -198,6 +198,12 @@ class LoamConfig:
     # prior (the reference re-queries its kd-trees every iteration,
     # src/laserMapping.cpp:717,824).  <= 0 disables.
     knn_regather_drift: float = 0.2
+    # cached-candidate mode runs as re-gather ROUNDS: every
+    # `map_regather_every` iterations the 27-cell candidate cache is
+    # re-gathered unconditionally at the current pose (vmap-friendly —
+    # no batched cond), bounding cache staleness to one round even with
+    # the drift trigger disabled
+    map_regather_every: int = 5
     # query-axis chunk for the 27-cell candidate gather: bounds the peak
     # HBM footprint of the (Q, 27*cap, 3) gather intermediate (it scales
     # with scenario batch under vmap) at a fixed ~chunk*27*cap*3 words

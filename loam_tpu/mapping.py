@@ -117,23 +117,92 @@ def _surf_map_residuals(nn_fn, q_body, q_mask, tobe, cfg: LoamConfig):
     return coeff, rhs, keep
 
 
-def _exact_nn_fns(corner_local, surf_local, cfg: LoamConfig):
+def _exact_nn_fns(corner_local, surf_local, cfg: LoamConfig,
+                  n_q_corner=None, n_q_surf=None):
     """Per-iteration exact 5-NN against the compacted local map — the
     reference's kd re-query semantics (src/laserMapping.cpp:717,824) via
-    the fused Pallas distance/top-k kernel."""
+    the fused Pallas distance/top-k kernel.  n_q_*: live counts of the
+    (front-compacted) query stacks — lets the kernel skip dead query
+    blocks on top of dead reference tiles."""
     from .ops.pallas.knn_topk import knn_points
 
     def nn_c(q):
         return knn_points(
-            q, None, corner_local.xyz, corner_local.mask, cfg.map_knn
+            q, None, corner_local.xyz, corner_local.mask, cfg.map_knn,
+            n_q=n_q_corner,
         )
 
     def nn_s(q):
         return knn_points(
-            q, None, surf_local.xyz, surf_local.mask, cfg.map_knn
+            q, None, surf_local.xyz, surf_local.mask, cfg.map_knn,
+            n_q=n_q_surf,
         )
 
     return nn_c, nn_s
+
+
+def _map_iteration(c, nn_c, nn_s, corner_stack: PointCloud,
+                   surf_stack: PointCloud, cfg: LoamConfig):
+    """One mapping GN iteration (fresh rows each iteration — the
+    reference clears laserCloudOri/coeffSel inside the loop,
+    src/laserMapping.cpp:712-713).  State updates are masked once
+    convergence / the iteration cap hits, so the iteration can run
+    inside a statically-unrolled round."""
+    tobe = c["tobe"]
+    active = ~c["converged"] & (c["it"] < cfg.map_max_iters)
+
+    coeff_c, rhs_c, keep_c = _corner_map_residuals(
+        nn_c, corner_stack.xyz, corner_stack.mask, tobe, cfg
+    )
+    coeff_s, rhs_s, keep_s = _surf_map_residuals(
+        nn_s, surf_stack.xyz, surf_stack.mask, tobe, cfg
+    )
+    points = jnp.concatenate([corner_stack.xyz, surf_stack.xyz])
+    coeffs = jnp.concatenate([coeff_c, coeff_s])
+    rhs = jnp.concatenate([rhs_c, rhs_s])
+    keep = jnp.concatenate([keep_c, keep_s])
+    n_sel = jnp.sum(keep.astype(jnp.int32))
+    enough = n_sel >= cfg.map_min_correspondences
+
+    rows = residuals.map_jacobian_rows(points, coeffs, tobe)
+    ata, atb = residuals.normal_equations(rows, -rhs, keep)
+    x = linalg.solve_sym6(ata, atb)
+
+    def mk_P(_):
+        return linalg.degeneracy_projector(
+            ata, cfg.map_degen_eigen_threshold
+        )
+
+    need_P = active & enough & ~c["have_P"]
+    P, degenerate = jax.lax.cond(
+        need_P, mk_P, lambda _: (c["P"], c["degenerate"]), None
+    )
+    have_P = c["have_P"] | need_P
+    x = jnp.where(degenerate, P @ x, x)
+
+    is_nan = jnp.any(jnp.isnan(x)) | jnp.any(jnp.isinf(x))
+    x = jnp.where(is_nan, 0.0, x)
+    do_update = active & enough & ~is_nan
+    new_tobe = jnp.where(do_update, tobe + x, tobe)
+
+    delta_r = jnp.sqrt(jnp.sum(jnp.square(jnp.degrees(x[:3]))))
+    delta_t = jnp.sqrt(jnp.sum(jnp.square(x[3:] * 100.0)))
+    converged = c["converged"] | (
+        do_update
+        & (delta_r < cfg.map_delta_r_break_deg)
+        & (delta_t < cfg.map_delta_t_break_cm)
+    )
+    act_i = active.astype(jnp.int32)
+    return dict(
+        c,
+        it=c["it"] + act_i,
+        tobe=new_tobe,
+        converged=converged,
+        P=P,
+        degenerate=degenerate,
+        have_P=have_P,
+        nan_skip=c["nan_skip"] + (is_nan & enough).astype(jnp.int32) * act_i,
+    )
 
 
 def gauss_newton_mapping(tobe0, corner_index, surf_index,
@@ -144,36 +213,14 @@ def gauss_newton_mapping(tobe0, corner_index, surf_index,
     0.05deg/0.05cm convergence (src/laserMapping.cpp:710-975).
 
     cfg.map_exact_knn: corner_index/surf_index are map_store.LocalMap
-    blocks and every iteration re-queries exact 5-NN (fused kernel).
-    Otherwise they are map_store.SearchGrid bucket grids: the 27-cell
-    candidate gather runs once at the prior pose, iterations re-rank the
-    cache, and a drift-triggered re-gather restores exactness after a
-    bad motion prior."""
-    if cfg.map_exact_knn:
-        nn_c0, nn_s0 = _exact_nn_fns(corner_index, surf_index, cfg)
-        extra = dict()
-    else:
-        def gather(pose):
-            qc = rotations.apply_pose(pose, corner_stack.xyz)
-            cand_c, valid_c = map_store.knn_candidates(
-                corner_index, qc, corner_stack.mask, cfg.knn_candidates,
-                cfg,
-            )
-            qs = rotations.apply_pose(pose, surf_stack.xyz)
-            cand_s, valid_s = map_store.knn_candidates(
-                surf_index, qs, surf_stack.mask, cfg.knn_candidates, cfg
-            )
-            return cand_c, valid_c, cand_s, valid_s
-
-        cand_c, valid_c, cand_s, valid_s = gather(tobe0)
-        extra = dict(
-            gather_pose=tobe0,
-            cand_c=cand_c,
-            valid_c=valid_c,
-            cand_s=cand_s,
-            valid_s=valid_s,
-        )
-
+    blocks and every iteration re-queries exact 5-NN (fused kernel) —
+    the reference's kd semantics.  Otherwise they are
+    map_store.SearchGrid bucket grids, and the loop runs as re-gather
+    ROUNDS: each round gathers 27-cell candidates at the current pose
+    (unconditionally — vmap-friendly, no batched cond) and then runs
+    `map_regather_every` masked iterations re-ranking that cache; an
+    optional drift-triggered re-gather (cfg.knn_regather_drift) guards
+    against a bad motion prior inside a round."""
     init = dict(
         it=jnp.int32(0),
         tobe=tobe0,
@@ -182,115 +229,90 @@ def gauss_newton_mapping(tobe0, corner_index, surf_index,
         degenerate=jnp.array(False),
         have_P=jnp.array(False),
         nan_skip=jnp.int32(0),
-        **extra,
     )
 
-    def cond(c):
-        return (c["it"] < cfg.map_max_iters) & ~c["converged"]
+    if cfg.map_exact_knn:
+        nn_c0, nn_s0 = _exact_nn_fns(
+            corner_index, surf_index, cfg,
+            n_q_corner=jnp.sum(corner_stack.mask.astype(jnp.int32)),
+            n_q_surf=jnp.sum(surf_stack.mask.astype(jnp.int32)),
+        )
 
-    def body(c):
-        tobe = c["tobe"]
+        def cond(c):
+            return (c["it"] < cfg.map_max_iters) & ~c["converged"]
 
-        if cfg.map_exact_knn:
-            nn_c, nn_s = nn_c0, nn_s0
-            extra_out = dict()
-        else:
-            # re-gather fallback: if the iterate has drifted beyond the
-            # validity envelope of the cached candidate sets (e.g. after
-            # a bad motion prior), gather fresh 27-cell candidates at the
-            # current pose (src/laserMapping.cpp:717,824 semantics)
+        def body(c):
+            return _map_iteration(
+                c, nn_c0, nn_s0, corner_stack, surf_stack, cfg
+            )
+
+        out = jax.lax.while_loop(cond, body, init)
+        return out["tobe"], out["nan_skip"]
+
+    # ---- cached-candidate mode: re-gather rounds --------------------------
+    def gather(pose):
+        qc = rotations.apply_pose(pose, corner_stack.xyz)
+        cand_c, valid_c = map_store.knn_candidates(
+            corner_index, qc, corner_stack.mask, cfg.knn_candidates, cfg
+        )
+        qs = rotations.apply_pose(pose, surf_stack.xyz)
+        cand_s, valid_s = map_store.knn_candidates(
+            surf_index, qs, surf_stack.mask, cfg.knn_candidates, cfg
+        )
+        return cand_c, valid_c, cand_s, valid_s
+
+    def nn_fns(cache):
+        cand_c, valid_c, cand_s, valid_s = cache
+
+        def nn_c(q):
+            return map_store.knn_from_candidates(
+                cand_c, valid_c, q, cfg.map_knn
+            )
+
+        def nn_s(q):
+            return map_store.knn_from_candidates(
+                cand_s, valid_s, q, cfg.map_knn
+            )
+
+        return nn_c, nn_s
+
+    every = max(1, cfg.map_regather_every)
+    n_rounds = -(-cfg.map_max_iters // every)
+
+    def round_cond(c):
+        return (c["round"] < n_rounds) & ~c["converged"]
+
+    def round_body(c):
+        cache = gather(c["tobe"])
+        gather_pose = c["tobe"]
+        for _ in range(every):
             if cfg.knn_regather_drift > 0:
-                drift = jnp.linalg.norm(tobe[3:] - c["gather_pose"][3:])
+                # drift fallback inside the round: if the iterate has
+                # moved beyond the cached set's validity envelope (e.g.
+                # after a bad motion prior), re-gather at the current
+                # pose (src/laserMapping.cpp:717,824 semantics)
+                drift = jnp.linalg.norm(c["tobe"][3:] - gather_pose[3:])
 
                 def regather(_):
-                    return (tobe,) + gather(tobe)
+                    return (c["tobe"],) + gather(c["tobe"])
 
                 def keep_cache(_):
-                    return (
-                        c["gather_pose"], c["cand_c"], c["valid_c"],
-                        c["cand_s"], c["valid_s"],
-                    )
+                    return (gather_pose,) + cache
 
-                gather_pose, cand_c, valid_c, cand_s, valid_s = \
-                    jax.lax.cond(
-                        drift > cfg.knn_regather_drift, regather,
-                        keep_cache, None,
-                    )
-            else:
-                gather_pose = c["gather_pose"]
-                cand_c, valid_c = c["cand_c"], c["valid_c"]
-                cand_s, valid_s = c["cand_s"], c["valid_s"]
-
-            def nn_c(q):
-                return map_store.knn_from_candidates(
-                    cand_c, valid_c, q, cfg.map_knn
+                gather_pose, *cache = jax.lax.cond(
+                    drift > cfg.knn_regather_drift, regather, keep_cache,
+                    None,
                 )
-
-            def nn_s(q):
-                return map_store.knn_from_candidates(
-                    cand_s, valid_s, q, cfg.map_knn
-                )
-
-            extra_out = dict(
-                gather_pose=gather_pose,
-                cand_c=cand_c,
-                valid_c=valid_c,
-                cand_s=cand_s,
-                valid_s=valid_s,
+                cache = tuple(cache)
+            nn_c, nn_s = nn_fns(cache)
+            c = _map_iteration(
+                c, nn_c, nn_s, corner_stack, surf_stack, cfg
             )
+        return dict(c, round=c["round"] + 1)
 
-        coeff_c, rhs_c, keep_c = _corner_map_residuals(
-            nn_c, corner_stack.xyz, corner_stack.mask, tobe, cfg
-        )
-        coeff_s, rhs_s, keep_s = _surf_map_residuals(
-            nn_s, surf_stack.xyz, surf_stack.mask, tobe, cfg
-        )
-        points = jnp.concatenate([corner_stack.xyz, surf_stack.xyz])
-        coeffs = jnp.concatenate([coeff_c, coeff_s])
-        rhs = jnp.concatenate([rhs_c, rhs_s])
-        keep = jnp.concatenate([keep_c, keep_s])
-        n_sel = jnp.sum(keep.astype(jnp.int32))
-        enough = n_sel >= cfg.map_min_correspondences
-
-        rows = residuals.map_jacobian_rows(points, coeffs, tobe)
-        ata, atb = residuals.normal_equations(rows, -rhs, keep)
-        x = linalg.solve_sym6(ata, atb)
-
-        def mk_P(_):
-            return linalg.degeneracy_projector(
-                ata, cfg.map_degen_eigen_threshold
-            )
-
-        need_P = enough & ~c["have_P"]
-        P, degenerate = jax.lax.cond(
-            need_P, mk_P, lambda _: (c["P"], c["degenerate"]), None
-        )
-        have_P = c["have_P"] | need_P
-        x = jnp.where(degenerate, P @ x, x)
-
-        is_nan = jnp.any(jnp.isnan(x)) | jnp.any(jnp.isinf(x))
-        x = jnp.where(is_nan, 0.0, x)
-        do_update = enough & ~is_nan
-        new_tobe = jnp.where(do_update, tobe + x, tobe)
-
-        delta_r = jnp.sqrt(jnp.sum(jnp.square(jnp.degrees(x[:3]))))
-        delta_t = jnp.sqrt(jnp.sum(jnp.square(x[3:] * 100.0)))
-        converged = do_update & (
-            (delta_r < cfg.map_delta_r_break_deg)
-            & (delta_t < cfg.map_delta_t_break_cm)
-        )
-        return dict(
-            it=c["it"] + 1,
-            tobe=new_tobe,
-            converged=converged,
-            P=P,
-            degenerate=degenerate,
-            have_P=have_P,
-            nan_skip=c["nan_skip"] + (is_nan & enough).astype(jnp.int32),
-            **extra_out,
-        )
-
-    out = jax.lax.while_loop(cond, body, init)
+    out = jax.lax.while_loop(
+        round_cond, round_body, dict(init, round=jnp.int32(0))
+    )
     return out["tobe"], out["nan_skip"]
 
 

@@ -207,28 +207,69 @@ def _odom_residuals(transform, it, sharp: PointCloud, flat: PointCloud,
     return points, coeffs, rhs, keep
 
 
+def _odom_associate(transform, feats: FeatureClouds,
+                    corner_last: PointCloud, surf_last: PointCloud,
+                    cfg: LoamConfig):
+    """One correspondence re-association at the given transform
+    (src/laserOdometry.cpp:474-528,586-651)."""
+    sharp, flat = feats.sharp, feats.flat
+    proj_c = transform_to_start(sharp.xyz, sharp.sweep_time(), transform)
+    proj_s = transform_to_start(flat.xyz, flat.sweep_time(), transform)
+    if jax.default_backend() == "tpu":
+        # fused streaming kernel: same break-bounded walk semantics
+        # without (Q, M) HBM intermediates
+        from .ops.pallas.odom_corr import odom_correspondences
+
+        cj1, cj2 = odom_correspondences(
+            proj_c, sharp.mask, corner_last.xyz, corner_last.mask,
+            corner_last.ring(), sharp.count(),
+            cfg.odom_nn_gate_sq, cfg.ring_window,
+            cfg.emulate_upward_scan_truncation, surf=False,
+        )
+        sj1, sj2, sj3 = odom_correspondences(
+            proj_s, flat.mask, surf_last.xyz, surf_last.mask,
+            surf_last.ring(), flat.count(),
+            cfg.odom_nn_gate_sq, cfg.ring_window,
+            cfg.emulate_upward_scan_truncation, surf=True,
+        )
+    else:
+        cj1, cj2 = _corner_correspondences(
+            proj_c, sharp.mask, corner_last, sharp.count(), cfg
+        )
+        sj1, sj2, sj3 = _surf_correspondences(
+            proj_s, flat.mask, surf_last, flat.count(), cfg
+        )
+    return cj1, cj2, sj1, sj2, sj3
+
+
 def gauss_newton_odometry(transform0, feats: FeatureClouds,
                           corner_last: PointCloud, surf_last: PointCloud,
                           cfg: LoamConfig):
     """The <=25-iteration GN loop with re-association every 5 iterations,
     first-solve degeneracy projector, NaN guard, and 0.1deg/0.1cm
-    convergence break (src/laserOdometry.cpp:470-827)."""
+    convergence break (src/laserOdometry.cpp:470-827).
+
+    Structured as a while_loop over re-association ROUNDS: each round
+    re-associates once (unconditionally — exactly the reference's
+    iterCount % 5 == 0 schedule, since a round starts only when not yet
+    converged) and then runs `reassociate_every` solver iterations whose
+    state updates are masked once convergence/iteration-cap hits.  This
+    is bit-identical to a flat while_loop with a cond-gated
+    re-association, but under vmap (scenario-batched replay) a batched
+    lax.cond lowers to both-branches-plus-select — which would pay the
+    correspondence search on EVERY iteration instead of every 5th."""
     sharp, flat = feats.sharp, feats.flat
     S, F = sharp.capacity, flat.capacity
     N = S + F
 
     init = dict(
+        round=jnp.int32(0),
         it=jnp.int32(0),
         transform=transform0,
         converged=jnp.array(False),
         P=jnp.eye(6, dtype=jnp.float32),
         degenerate=jnp.array(False),
         have_P=jnp.array(False),
-        cj1=jnp.full((S,), -1, jnp.int32),
-        cj2=jnp.full((S,), -1, jnp.int32),
-        sj1=jnp.full((F,), -1, jnp.int32),
-        sj2=jnp.full((F,), -1, jnp.int32),
-        sj3=jnp.full((F,), -1, jnp.int32),
         nan_skip=jnp.int32(0),
         # row-accumulation state (cfg.odom_accumulate_rows): per-point
         # coeff outer products / coeff*rhs sums and the running row count
@@ -238,55 +279,22 @@ def gauss_newton_odometry(transform0, feats: FeatureClouds,
         bacc=jnp.zeros((N, 3), jnp.float32),
         n_rows=jnp.int32(0),
     )
+    n_rounds = -(-cfg.odom_max_iters // cfg.reassociate_every)
 
-    def cond(c):
-        return (c["it"] < cfg.odom_max_iters) & ~c["converged"]
-
-    def body(c):
+    def iteration(c, corr):
+        """One solver iteration at fixed correspondences; updates are
+        masked out when already converged or past the iteration cap."""
+        cj1, cj2, sj1, sj2, sj3 = corr
         transform = c["transform"]
-
-        def reassociate(_):
-            proj_c = transform_to_start(
-                sharp.xyz, sharp.sweep_time(), transform
-            )
-            proj_s = transform_to_start(flat.xyz, flat.sweep_time(), transform)
-            if jax.default_backend() == "tpu":
-                # fused streaming kernel: same break-bounded walk
-                # semantics without (Q, M) HBM intermediates
-                from .ops.pallas.odom_corr import odom_correspondences
-
-                cj1, cj2 = odom_correspondences(
-                    proj_c, sharp.mask, corner_last.xyz, corner_last.mask,
-                    corner_last.ring(), sharp.count(),
-                    cfg.odom_nn_gate_sq, cfg.ring_window,
-                    cfg.emulate_upward_scan_truncation, surf=False,
-                )
-                sj1, sj2, sj3 = odom_correspondences(
-                    proj_s, flat.mask, surf_last.xyz, surf_last.mask,
-                    surf_last.ring(), flat.count(),
-                    cfg.odom_nn_gate_sq, cfg.ring_window,
-                    cfg.emulate_upward_scan_truncation, surf=True,
-                )
-            else:
-                cj1, cj2 = _corner_correspondences(
-                    proj_c, sharp.mask, corner_last, sharp.count(), cfg
-                )
-                sj1, sj2, sj3 = _surf_correspondences(
-                    proj_s, flat.mask, surf_last, flat.count(), cfg
-                )
-            return cj1, cj2, sj1, sj2, sj3
-
-        cj1, cj2, sj1, sj2, sj3 = jax.lax.cond(
-            c["it"] % cfg.reassociate_every == 0,
-            reassociate,
-            lambda _: (c["cj1"], c["cj2"], c["sj1"], c["sj2"], c["sj3"]),
-            None,
-        )
+        active = ~c["converged"] & (c["it"] < cfg.odom_max_iters)
 
         points, coeffs, rhs, keep = _odom_residuals(
             transform, c["it"], sharp, flat, corner_last, surf_last,
             cj1, cj2, sj1, sj2, sj3, cfg,
         )
+        keep = keep & active
+        coeffs = jnp.where(keep[:, None], coeffs, 0.0)
+        rhs = jnp.where(keep, rhs, 0.0)
         n_sel = jnp.sum(keep.astype(jnp.int32))
 
         if cfg.odom_accumulate_rows:
@@ -319,7 +327,7 @@ def gauss_newton_odometry(transform0, feats: FeatureClouds,
                 ata, cfg.odom_degen_eigen_threshold
             )
 
-        need_P = enough & ~c["have_P"]
+        need_P = active & enough & ~c["have_P"]
         P, degenerate = jax.lax.cond(
             need_P, mk_P, lambda _: (c["P"], c["degenerate"]), None
         )
@@ -329,34 +337,43 @@ def gauss_newton_odometry(transform0, feats: FeatureClouds,
 
         is_nan = jnp.any(jnp.isnan(x)) | jnp.any(jnp.isinf(x))
         x = jnp.where(is_nan, 0.0, x)
-        do_update = enough & ~is_nan
+        do_update = active & enough & ~is_nan
         new_transform = jnp.where(do_update, transform + x, transform)
 
         delta_r = jnp.sqrt(jnp.sum(jnp.square(jnp.degrees(x[:3]))))
         delta_t = jnp.sqrt(jnp.sum(jnp.square(x[3:] * 100.0)))
-        converged = enough & ~is_nan & (
-            (delta_r < cfg.odom_delta_r_break_deg)
+        converged = c["converged"] | (
+            do_update
+            & (delta_r < cfg.odom_delta_r_break_deg)
             & (delta_t < cfg.odom_delta_t_break_cm)
         )
+        act_i = active.astype(jnp.int32)
         return dict(
-            it=c["it"] + 1,
+            round=c["round"],
+            it=c["it"] + act_i,
             transform=new_transform,
             converged=converged,
             P=P,
             degenerate=degenerate,
             have_P=have_P,
-            cj1=cj1,
-            cj2=cj2,
-            sj1=sj1,
-            sj2=sj2,
-            sj3=sj3,
-            nan_skip=c["nan_skip"] + (is_nan & enough).astype(jnp.int32),
+            nan_skip=c["nan_skip"] + (is_nan & enough).astype(jnp.int32) * act_i,
             Cacc=Cacc,
             bacc=bacc,
             n_rows=n_rows,
         )
 
-    out = jax.lax.while_loop(cond, body, init)
+    def round_cond(c):
+        return (c["round"] < n_rounds) & ~c["converged"]
+
+    def round_body(c):
+        corr = _odom_associate(
+            c["transform"], feats, corner_last, surf_last, cfg
+        )
+        for _ in range(cfg.reassociate_every):
+            c = iteration(c, corr)
+        return dict(c, round=c["round"] + 1)
+
+    out = jax.lax.while_loop(round_cond, round_body, init)
     return out["transform"], out["nan_skip"]
 
 

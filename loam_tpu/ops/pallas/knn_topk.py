@@ -130,6 +130,130 @@ def _knn_kernel(nl_ref, q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out,
     i_out[:, :] = state_i
 
 
+def _knn_kernel_dyn(ns_ref, q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out,
+                    *, k, tq, tm):
+    """Whole-problem variant: grid=(1,), everything VMEM-resident, BOTH
+    loops dynamic — outer over ceil(n_q/tq) live query blocks, inner
+    over ceil(n_ref/tm) live reference tiles.  Queries and references
+    are front-compacted (voxel_downsample / local_map_points), so cost
+    scales with live*live instead of capacity*capacity; at typical
+    mapping load (~30-50% live on each axis) that is a 4-10x work cut
+    the static grid cannot express.
+
+    ns_ref (scalar prefetch): [n_q_live, n_ref_live].  Output rows for
+    blocks past the live query count keep the BIG pre-fill, which the
+    caller's d2 gate treats as invalid."""
+    Q = q3_ref.shape[1]
+    M = r3_ref.shape[1]
+    nq_tiles = jnp.clip((ns_ref[0] + tq - 1) // tq, 1, Q // tq)
+    nm_tiles = jnp.clip((ns_ref[1] + tm - 1) // tm, 1, M // tm)
+
+    col_bits = max((tm - 1).bit_length(), 1)
+    low_mask = (1 << col_bits) - 1
+    high_mask = -(1 << col_bits)
+
+    d_out[:, :] = jnp.full((Q, k), BIG, jnp.float32)
+    i_out[:, :] = jnp.zeros((Q, k), jnp.int32)
+
+    def qblock(b, _):
+        qbase = b * tq
+        q3 = q3_ref[:, pl.ds(qbase, tq)]    # (3, TQ)
+        q2 = q2_ref[0, pl.ds(qbase, tq)]    # (TQ,)
+        state_k = jnp.full((tq, k), _INT_BIG, jnp.int32)
+        state_i = jnp.zeros((tq, k), jnp.int32)
+
+        def body(t, st):
+            state_k, state_i = st
+            base = t * tm
+            r3 = r3_ref[:, pl.ds(base, tm)]
+            r2 = r2_ref[0, pl.ds(base, tm)]
+            cross = jax.lax.dot_general(
+                q3, r3, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d2 = jnp.maximum(q2[:, None] - 2.0 * cross + r2[None, :], 0.0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (tq, tm), 1)
+            key = (
+                jax.lax.bitcast_convert_type(d2, jnp.int32) & high_mask
+            ) | col
+            for _ in range(k):
+                m = jnp.min(key, axis=1)
+                gidx = base + (m & low_mask)
+                state_k, state_i = _insert_sorted_keys(
+                    state_k, state_i, m, gidx
+                )
+                key = jnp.where(key == m[:, None], _INT_BIG, key)
+            return state_k, state_i
+
+        state_k, state_i = jax.lax.fori_loop(
+            0, nm_tiles, body, (state_k, state_i)
+        )
+        d_out[pl.ds(qbase, tq), :] = jax.lax.bitcast_convert_type(
+            state_k & high_mask, jnp.float32
+        )
+        i_out[pl.ds(qbase, tq), :] = state_i
+        return 0
+
+    jax.lax.fori_loop(0, nq_tiles, qblock, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "interpret"))
+def knn_topk_dyn(q_xyz, ref_xyz, ref_mask, n_q, n_ref, k: int = 5,
+                 tq: int = 256, tm: int = 2048, interpret: bool = False):
+    """knn_topk with BOTH the query and reference axes live-count
+    bounded (front-compacted inputs).  Returns (idx (Q, k), d2 (Q, k));
+    rows past n_q are BIG/0 fill the caller's gate rejects."""
+    Q = q_xyz.shape[0]
+    M = ref_xyz.shape[0]
+    assert Q % tq == 0 and M % tm == 0, (Q, tq, M, tm)
+
+    q3 = q_xyz.T.astype(jnp.float32)
+    r3 = ref_xyz.T.astype(jnp.float32)
+    q2 = jnp.sum(q_xyz * q_xyz, axis=1)[None, :]
+    r2 = jnp.sum(ref_xyz * ref_xyz, axis=1)
+    r2 = jnp.where(ref_mask, r2, BIG)[None, :]
+
+    ns = jnp.stack(
+        [jnp.asarray(n_q, jnp.int32), jnp.asarray(n_ref, jnp.int32)]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((3, Q), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, M), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, k), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, k), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    d2, idx = pl.pallas_call(
+        functools.partial(_knn_kernel_dyn, k=k, tq=tq, tm=tm),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, k), jnp.float32),
+            jax.ShapeDtypeStruct((Q, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * M * 3 + Q * M * (2 + k),
+            bytes_accessed=(Q * 3 + M * 3 + Q + M) * 4 + Q * k * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ns, q3, q2, r3, r2)
+    return idx, d2
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "interpret"))
 def knn_topk(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5,
              tq: int = 256, tm: int = 2048, interpret: bool = False,
@@ -234,10 +358,14 @@ def _tile(n, prefs):
     return n
 
 
-def knn_points(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5):
+def knn_points(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5, n_q=None):
     """Dispatch: Pallas on TPU, jnp elsewhere.  Returns (pts (Q, k, 3),
     d2 (Q, k)) nearest-first — the shape the mapping residuals consume.
-    ref must be front-compacted (true for feature clouds and LocalMap)."""
+    ref must be front-compacted (true for feature clouds and LocalMap).
+
+    n_q: optional live query count when queries are ALSO front-compacted
+    (voxel_downsample stacks) — switches to the whole-problem kernel
+    with a dynamic query-block loop, so cost scales live*live."""
     # recenter on the reference cloud: the |q|^2 - 2q.r + |r|^2 form loses
     # ~eps*|q||r| to cancellation for neighbors much closer than the
     # origin distance (kilometres into a trajectory, this would dominate)
@@ -252,8 +380,12 @@ def knn_points(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5):
     if jax.default_backend() == "tpu":
         tq = _tile(q_xyz.shape[0], (256, 128, 64, 32, 16, 8))
         tm = _tile(ref_xyz.shape[0], (2048, 1024, 512, 256, 128))
-        idx, d2k = knn_topk(qc, q_mask, rc, ref_mask, k, tq=tq, tm=tm,
-                            n_ref=n_live)
+        if n_q is not None:
+            idx, d2k = knn_topk_dyn(qc, rc, ref_mask, n_q, n_live, k,
+                                    tq=tq, tm=tm)
+        else:
+            idx, d2k = knn_topk(qc, q_mask, rc, ref_mask, k, tq=tq,
+                                tm=tm, n_ref=n_live)
         invalid = d2k > 1e28
     else:
         idx, d2k = knn_topk_reference(qc, q_mask, rc, ref_mask, k)

@@ -192,6 +192,63 @@ def replay_sweeps(raw_xyz, raw_mask, cfg: LoamConfig = LoamConfig(),
     return outs
 
 
+def replay_features_cadenced(feats: FeatureClouds,
+                             cfg: LoamConfig = LoamConfig(),
+                             state0: "PipelineState | None" = None):
+    """Sequential replay with the mapping cadence resolved STATICALLY.
+
+    The skip-frame schedule is a pure function of the frame index
+    (mapping at frames 1, 1+(skip+1), ...; src/laserOdometry.cpp:51,886),
+    so instead of a runtime lax.cond on the odometry's publish flag —
+    which under vmap lowers to both-branches-plus-select and pays the
+    mapping solve on EVERY frame — the scan body handles one full cadence
+    period: 1 mapping frame + `skip_frame_num` odometry-only frames,
+    each pipeline_step with a static do_mapping.  Frame 0 (the odometry
+    init frame, no mapping) runs before the scan.
+
+    feats: FeatureClouds with leading F axis, F = 1 + n*(skip+1).
+    One jit dispatch replays the whole sequence (vs one per frame),
+    which matters when the device sits behind a high-latency transport.
+    Returns (FrameOutput with leading F axis, final PipelineState).
+    """
+    F = feats.sharp.mask.shape[0]
+    period = cfg.skip_frame_num + 1
+    assert (F - 1) % period == 0, (
+        f"F={F} must be 1 + n*{period} for the static cadence scan"
+    )
+    if state0 is None:
+        state0 = PipelineState.create(cfg)
+
+    f0 = jax.tree_util.tree_map(lambda x: x[0], feats)
+    rest = jax.tree_util.tree_map(
+        lambda x: x[1:].reshape(((F - 1) // period, period) + x.shape[1:]),
+        feats,
+    )
+    state, out0 = pipeline_step(state0, f0, None, cfg, do_mapping=False)
+
+    def period_step(state, fp):
+        outs = []
+        for j in range(period):
+            fj = jax.tree_util.tree_map(lambda x: x[j], fp)
+            state, o = pipeline_step(
+                state, fj, None, cfg, do_mapping=(j == 0)
+            )
+            outs.append(o)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *outs
+        )
+        return state, stacked
+
+    final, outs = jax.lax.scan(period_step, state, rest)
+    outs = jax.tree_util.tree_map(
+        lambda x: x.reshape((F - 1,) + x.shape[2:]), outs
+    )
+    all_outs = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a[None], b]), out0, outs
+    )
+    return all_outs, final
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "with_imu"))
 def replay_features(feats: FeatureClouds, cfg: LoamConfig = LoamConfig(),
                     imu_trans: ImuTrans | None = None, with_imu: bool = False):

@@ -174,3 +174,53 @@ def test_knn_topk_interpret_all_masked():
         q, None, ref, jnp.zeros(M, bool), K, tq=Q, tm=M, interpret=True
     )
     assert np.all(np.asarray(d2) > 1e28)
+
+
+def test_knn_topk_dyn_interpret_matches_reference():
+    """Whole-problem kernel (dynamic query-block + ref-tile loops) against
+    the jnp reference: live rows match, dead query rows stay BIG."""
+    from loam_tpu.ops.pallas.knn_topk import knn_topk_dyn
+
+    rng = np.random.default_rng(7)
+    Q, M, K = 128, 512, 5
+    n_q, n_ref = 70, 300  # neither a multiple of the tile sizes
+    ref = rng.uniform(-5.0, 5.0, size=(M, 3)).astype(np.float32)
+    ref[n_ref:] = 0.0
+    ref_mask = jnp.arange(M) < n_ref
+    q = rng.uniform(-5.0, 5.0, size=(Q, 3)).astype(np.float32)
+
+    idx, d2 = knn_topk_dyn(
+        jnp.asarray(q), jnp.asarray(ref), ref_mask,
+        jnp.int32(n_q), jnp.int32(n_ref), K, tq=32, tm=128,
+        interpret=True,
+    )
+    idx_r, _ = knn_topk_reference(
+        jnp.asarray(q), None, jnp.asarray(ref), ref_mask, K
+    )
+
+    def exact(i):
+        p = ref[np.clip(np.asarray(i), 0, M - 1)]
+        d = q[:, None, :] - p
+        return np.sort((d * d).sum(-1), axis=1)
+
+    np.testing.assert_allclose(
+        exact(idx)[:n_q], exact(idx_r)[:n_q], rtol=1e-5
+    )
+    assert np.all(np.asarray(idx)[:n_q] < n_ref)
+    # rows past the last touched query BLOCK keep the BIG pre-fill (the
+    # partial block covering n_q is computed whole; callers gate by mask)
+    blk_end = -(-n_q // 32) * 32
+    assert np.all(np.asarray(d2)[blk_end:] > 1e28)
+
+
+def test_knn_topk_dyn_interpret_empty_ref():
+    from loam_tpu.ops.pallas.knn_topk import knn_topk_dyn
+
+    Q, M, K = 32, 128, 5
+    q = jnp.zeros((Q, 3), jnp.float32)
+    ref = jnp.zeros((M, 3), jnp.float32)
+    _, d2 = knn_topk_dyn(
+        q, ref, jnp.zeros(M, bool), jnp.int32(Q), jnp.int32(0), K,
+        tq=32, tm=128, interpret=True,
+    )
+    assert np.all(np.asarray(d2) > 1e28)
