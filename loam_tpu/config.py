@@ -56,6 +56,11 @@ class LoamConfig:
     # for a shorter TPU loop.
     corner_scan_k: int = 0
     flat_scan_k: int = 0
+    # Run the greedy selection walk as the Pallas scalar-core kernel
+    # (ops/pallas/select_walk.py) when on TPU — exact same labeling
+    # (pinned by tests/test_select_walk.py), ~10x less per-step loop
+    # overhead than the batched XLA while_loop in select_ring.
+    select_walk_kernel: bool = True
 
     # ---- static feature-cloud capacities ---------------------------------
     max_sharp: int = 256        # 16 rings * 6 subregions * 2 = 192

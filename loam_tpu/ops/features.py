@@ -191,27 +191,38 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
         gap_sq, cfg.suppress_gap_sq, cfg.suppress_neighbors
     )
 
-    def subregion(carry, j):
+    # subregion bounds (src/scanRegistration.cpp:463-464):
+    # scanStartInd = first+5, scanEndInd = next_first-5, so the
+    # ring-relative span endpoints are s = 5 and e = n-5 (the union
+    # of subregions is [5, n-6] since ep_last = e-1).
+    # All six subregions' candidate orders are precomputed HERE, outside
+    # the sequential scan: two batched (n_sub, SUBW) argsorts instead of
+    # twelve scan-serialized ones (the greedy walk itself is the only
+    # inherently sequential part).
+    js = jnp.arange(cfg.n_subregions)
+    sp_all = (5 * (cfg.n_subregions - js) + (n - 5) * js) // cfg.n_subregions
+    ep_all = (
+        5 * (cfg.n_subregions - 1 - js) + (n - 5) * (js + 1)
+    ) // cfg.n_subregions - 1
+    idx_all = sp_all[:, None] + jnp.arange(SUBW)[None, :]
+    idxc_all = jnp.clip(idx_all, 0, W - 1)
+    valid_all = (idx_all <= ep_all[:, None]) & ok_ring
+    c_desc_all = jnp.where(valid_all, curv[idxc_all], NEG_INF)
+    # the reference's descending traversal walks a stable ASCENDING
+    # insertion sort backwards (src/scanRegistration.cpp:466-477), so
+    # curvature ties are visited larger-index first; emulate by
+    # stable-sorting a reversed view (invalid -inf entries still land
+    # last)
+    rev = jnp.arange(SUBW)[::-1]
+    order_desc_all = rev[
+        jnp.argsort(-c_desc_all[:, rev], axis=1, stable=True)
+    ]
+    c_asc_all = jnp.where(valid_all, curv[idxc_all], POS_INF)
+    order_asc_all = jnp.argsort(c_asc_all, axis=1)
+
+    def subregion(carry, xs):
         labels, picked = carry
-        # subregion bounds (src/scanRegistration.cpp:463-464):
-        # scanStartInd = first+5, scanEndInd = next_first-5, so the
-        # ring-relative span endpoints are s = 5 and e = n-5 (the union
-        # of subregions is [5, n-6] since ep_last = e-1)
-        sp = (5 * (cfg.n_subregions - j) + (n - 5) * j) // cfg.n_subregions
-        ep = (
-            5 * (cfg.n_subregions - 1 - j) + (n - 5) * (j + 1)
-        ) // cfg.n_subregions - 1
-        idx = sp + jnp.arange(SUBW)
-        idxc = jnp.clip(idx, 0, W - 1)
-        valid = (idx <= ep) & ok_ring
-        c_desc = jnp.where(valid, curv[idxc], NEG_INF)
-        # the reference's descending traversal walks a stable ASCENDING
-        # insertion sort backwards (src/scanRegistration.cpp:466-477), so
-        # curvature ties are visited larger-index first; emulate by
-        # stable-sorting a reversed view (invalid -inf entries still land
-        # last)
-        rev = jnp.arange(SUBW)[::-1]
-        order_desc = rev[jnp.argsort(-c_desc[rev], stable=True)]
+        order_desc, order_asc, idxc, valid = xs
 
         def corner_step(st):
             labels, picked, cnt, stopped, t = st
@@ -250,9 +261,6 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
             (labels, picked, jnp.int32(0), jnp.bool_(False), jnp.int32(0)),
         )
 
-        c_asc = jnp.where(valid, curv[idxc], POS_INF)
-        order_asc = jnp.argsort(c_asc)
-
         def flat_step(st):
             labels, picked, cnt, stopped, t = st
             sub_i = order_asc[t]
@@ -288,9 +296,100 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
         return (labels, picked), None
 
     (labels, picked), _ = jax.lax.scan(
-        subregion, (labels0, pre_picked), jnp.arange(cfg.n_subregions)
+        subregion, (labels0, pre_picked),
+        (order_desc_all, order_asc_all, idxc_all, valid_all),
     )
     return labels, picked
+
+
+def select_rings_walk(curv, gap_sq, pre_picked, n, cfg: LoamConfig,
+                      interpret: bool = False):
+    """Batched (R rings) greedy selection via the Pallas walk kernel
+    (ops/pallas/select_walk.py) — exact same labeling as
+    vmap(select_ring), but the sequential walk runs on the TPU scalar
+    core over SMEM bit-fields instead of XLA while_loops over (W,) rows,
+    with true per-ring early exit.
+
+    curv/gap_sq (R, W) f32, pre_picked (R, W) bool, n (R,) int32.
+    Returns (labels (R, W) int8, picked (R, W) bool).
+    """
+    from .pallas import select_walk as SW
+
+    R, W = curv.shape
+    SUBW = cfg.ring_width // cfg.n_subregions + 8
+    ok_ring = n >= 12
+
+    up_reach, down_reach = jax.vmap(
+        lambda g: _suppress_reach(
+            g, cfg.suppress_gap_sq, cfg.suppress_neighbors
+        )
+    )(gap_sq)
+
+    js = jnp.arange(cfg.n_subregions)
+    sp_all = (
+        5 * (cfg.n_subregions - js)[None, :] + (n[:, None] - 5) * js[None, :]
+    ) // cfg.n_subregions                                    # (R, n_sub)
+    ep_all = (
+        5 * (cfg.n_subregions - 1 - js)[None, :]
+        + (n[:, None] - 5) * (js[None, :] + 1)
+    ) // cfg.n_subregions - 1
+    idx_all = sp_all[..., None] + jnp.arange(SUBW)           # (R, n_sub, SUBW)
+    idxc = jnp.clip(idx_all, 0, W - 1)
+    valid = (idx_all <= ep_all[..., None]) & ok_ring[:, None, None]
+
+    gather_ring = jax.vmap(lambda a, i: a[i])
+    cv = gather_ring(curv, idxc.reshape(R, -1)).reshape(idxc.shape)
+
+    def walk_order(c_fill, descending):
+        if descending:
+            # stable ASCENDING insertion sort walked backwards
+            # (src/scanRegistration.cpp:466-477): ties visit
+            # larger-index first
+            rev = jnp.arange(SUBW)[::-1]
+            return rev[jnp.argsort(
+                -c_fill[..., rev], axis=-1, stable=True
+            )]
+        return jnp.argsort(c_fill, axis=-1)
+
+    def meta_for(order, qual):
+        g = lambda a: jnp.take_along_axis(a, order, axis=-1)
+        ind = g(idxc)
+        up = gather_ring(up_reach, ind.reshape(R, -1)).reshape(ind.shape)
+        dn = gather_ring(down_reach, ind.reshape(R, -1)).reshape(ind.shape)
+        # clip reaches at the ring bounds — identical to the XLA path's
+        # iota-range mask, and keeps the kernel's word indices in range
+        up = jnp.minimum(up, (W - 1) - ind)
+        dn = jnp.minimum(dn, ind)
+        return SW.pack_walk_meta(ind, g(valid), g(qual), up, dn).reshape(
+            R, cfg.n_subregions * SUBW
+        )
+
+    c_desc = jnp.where(valid, cv, NEG_INF)
+    corner_meta = meta_for(
+        walk_order(c_desc, True), cv > cfg.curvature_threshold
+    )
+    c_asc = jnp.where(valid, cv, POS_INF)
+    flat_meta = meta_for(
+        walk_order(c_asc, False), cv < cfg.curvature_threshold
+    )
+
+    s_bits, l_bits, f_bits, p_bits = SW.select_walk(
+        corner_meta, flat_meta, SW.pack_bits(pre_picked),
+        n_sub=cfg.n_subregions, subw=SUBW, W=W,
+        max_sharp=cfg.max_sharp_per_subregion,
+        max_less_sharp=cfg.max_less_sharp_per_subregion,
+        max_flat=cfg.max_flat_per_subregion,
+        interpret=interpret,
+    )
+    sharp = SW.unpack_bits(s_bits, W)
+    less = SW.unpack_bits(l_bits, W)
+    flat = SW.unpack_bits(f_bits, W)
+    labels = jnp.where(
+        sharp, jnp.int8(2),
+        jnp.where(less, jnp.int8(1), jnp.where(flat, jnp.int8(-1),
+                                               jnp.int8(0))),
+    )
+    return labels, SW.unpack_bits(p_bits, W)
 
 
 def _compact(xyz, rel, mask, cap):
@@ -347,9 +446,14 @@ def extract_features(sweep: Sweep, cfg: LoamConfig = LoamConfig()) -> FeatureClo
     # construction for all selectable picks)
     gap_sq = jax.vmap(ring_gaps)(sweep.xyz)
 
-    labels, _ = jax.vmap(
-        lambda x, c, g, p, n: select_ring(x, c, g, p, n, cfg)
-    )(sweep.xyz, curv, gap_sq, pre_picked, counts)
+    if cfg.select_walk_kernel and jax.default_backend() == "tpu":
+        labels, _ = select_rings_walk(
+            curv, gap_sq, pre_picked, counts, cfg
+        )
+    else:
+        labels, _ = jax.vmap(
+            lambda x, c, g, p, n: select_ring(x, c, g, p, n, cfg)
+        )(sweep.xyz, curv, gap_sq, pre_picked, counts)
 
     idx = jnp.arange(cfg.ring_width)[None, :]
     selectable = (idx >= 5) & (idx <= (counts[:, None] - 6)) & sweep.mask
