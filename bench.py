@@ -31,6 +31,16 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/loam_jax_cache")
 
 
+def _enable_cache():
+    """Persistent compile cache.  This jax build ignores the
+    JAX_COMPILATION_CACHE_DIR env var — only the config update takes
+    effect (verified: env-var-only runs never created the directory)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/loam_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _cfg():
     from loam_tpu.config import LoamConfig
 
@@ -94,7 +104,7 @@ def run_once(B: int, F: int, per_stage: bool = False):
     """Returns dict with rates (and per-stage ms when requested)."""
     import jax
 
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _enable_cache()
     import jax.numpy as jnp
 
     from loam_tpu import frontend, pipeline

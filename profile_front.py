@@ -2,6 +2,7 @@
 import sys, time, os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/loam_jax_cache")
 import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/loam_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from bench import _cfg, _data
 from loam_tpu import frontend

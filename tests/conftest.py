@@ -22,6 +22,10 @@ os.environ.setdefault(
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# this jax build ignores the JAX_COMPILATION_CACHE_DIR env var — only the
+# config update enables the persistent cache (big win: the golden-parity
+# and long-sequence tests are compile-heavy)
+jax.config.update("jax_compilation_cache_dir", "/tmp/loam_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
