@@ -49,10 +49,16 @@ _INVALID_HI = jnp.uint32(0xFFFFFFFF)
 
 
 def lexsort2(key_hi, key_lo):
-    """Stable lexicographic argsort by (key_hi, key_lo)."""
-    order1 = jnp.argsort(key_lo, stable=True)
-    order2 = jnp.argsort(key_hi[order1], stable=True)
-    return order1[order2]
+    """Stable lexicographic argsort by (key_hi, key_lo).
+
+    One multi-key lax.sort pass (hi primary, lo secondary, iota payload)
+    — half the cost of the classic two chained stable argsorts on TPU,
+    identical permutation."""
+    iota = jnp.arange(key_hi.shape[0], dtype=jnp.int32)
+    _, _, perm = jax.lax.sort(
+        (key_hi, key_lo, iota), num_keys=2, is_stable=True
+    )
+    return perm
 
 
 def voxel_downsample(xyz, mask, leaf, out_cap, extra=None):
