@@ -117,30 +117,47 @@ def run_once(B: int, F: int, per_stage: bool = False):
     raw = jnp.asarray(raw_np)
     msk = jnp.asarray(msk_np)
 
-    # frontend batched over scenarios AND frames: each greedy-selection
-    # step of the subregion scan is inherently sequential (reference
-    # semantics), so throughput comes from giving every sequential step
-    # more parallel rows — (B*F, 16) rings at once instead of (B, 16)
-    front = jax.jit(
-        jax.vmap(jax.vmap(
-            lambda x, m: extract_features(
-                frontend.ingest_sweep(x, m, cfg), cfg
-            )
+    def build(c):
+        # frontend batched over scenarios AND frames: each
+        # greedy-selection step of the subregion scan is inherently
+        # sequential (reference semantics), so throughput comes from
+        # giving every sequential step more parallel rows — (B*F, 16)
+        # rings at once instead of (B, 16)
+        fr = jax.jit(
+            jax.vmap(jax.vmap(
+                lambda x, m: extract_features(
+                    frontend.ingest_sweep(x, m, c), c
+                )
+            ))
+        )
+        # the whole recurrent core is ONE jitted program: a lax.scan
+        # whose body handles one cadence period with static do_mapping
+        # flags (pipeline.replay_features_cadenced) — no per-frame host
+        # dispatch, no batched lax.cond paying the mapping solve on
+        # odometry-only frames
+        co = jax.jit(jax.vmap(
+            lambda f: pipeline.replay_features_cadenced(f, c)
         ))
-    )
-    # the whole recurrent core is ONE jitted program: a lax.scan whose
-    # body handles one cadence period with static do_mapping flags
-    # (pipeline.replay_features_cadenced) — no per-frame host dispatch,
-    # no batched lax.cond paying the mapping solve on odometry-only
-    # frames
-    core = jax.jit(jax.vmap(
-        lambda f: pipeline.replay_features_cadenced(f, cfg)
-    ))
+        return fr, co
 
-    # warm all jits
-    fall = front(raw, msk)
-    outs, _ = core(fall)
-    jax.block_until_ready(outs)
+    front, core = build(cfg)
+
+    # warm all jits.  The kernel dispatch in extract_features already
+    # probes Mosaic lowering and self-degrades to the XLA path, but keep
+    # a last-resort fallback here too: a benchmark run must NEVER exit
+    # nonzero because one kernel regressed (round-3 postmortem).
+    try:
+        fall = front(raw, msk)
+        outs, _ = core(fall)
+        jax.block_until_ready(outs)
+    except Exception as e:
+        print(f"# kernel path failed ({type(e).__name__}); "
+              "falling back to the XLA selection path", file=sys.stderr)
+        cfg = dataclasses.replace(cfg, select_walk_kernel=False)
+        front, core = build(cfg)
+        fall = front(raw, msk)
+        outs, _ = core(fall)
+        jax.block_until_ready(outs)
 
     t0 = time.perf_counter()
     feats_all = front(raw, msk)

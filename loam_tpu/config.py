@@ -56,10 +56,16 @@ class LoamConfig:
     # for a shorter TPU loop.
     corner_scan_k: int = 0
     flat_scan_k: int = 0
-    # Run the greedy selection walk as the Pallas scalar-core kernel
-    # (ops/pallas/select_walk.py) when on TPU — exact same labeling
-    # (pinned by tests/test_select_walk.py), ~10x less per-step loop
-    # overhead than the batched XLA while_loop in select_ring.
+    # Greedy-selection strategy (all three produce identical labels,
+    # pinned by tests/test_select_walk.py + tests/test_select_argmax.py):
+    # select_argmax=True (default) iterates over PICKS — a fixed
+    # 6x(20+4)-step masked-argmax schedule whose cost is independent of
+    # batch size (ops/features.py:select_rings_argmax); otherwise
+    # select_walk_kernel=True runs the Pallas scalar-core walk on TPU
+    # (ops/pallas/select_walk.py), and False falls back to the
+    # candidate-walk while_loop (select_ring), whose batched form runs
+    # every lane to the slowest ring's visit count.
+    select_argmax: bool = True
     select_walk_kernel: bool = True
 
     # ---- static feature-cloud capacities ---------------------------------

@@ -300,6 +300,33 @@ def accel_trajectory(speed_amp: float = 1.5, period: float = 0.8,
     return pose_fn
 
 
+def oscillating_trajectory(speed: float = 0.8,
+                           pitch_amp: float = 0.06, pitch_period: float = 0.7,
+                           roll_amp: float = 0.05, roll_period: float = 0.9,
+                           yaw_amp: float = 0.08, yaw_period: float = 1.3,
+                           surge_amp: float = 0.6, surge_period: float = 0.5):
+    """The gates_oscillating_motion analogue
+    (/root/reference/README.md:25,37-38): continuous rocking in pitch,
+    roll and yaw plus an oscillating surge speed — aggressive enough that
+    the constant-velocity deskew model breaks and IMU aiding becomes
+    load-bearing.  Returns pose_fn(t) -> internal-frame 6-pose."""
+    wp = 2 * np.pi / pitch_period
+    wr = 2 * np.pi / roll_period
+    wy = 2 * np.pi / yaw_period
+    ws = 2 * np.pi / surge_period
+
+    def pose_fn(t):
+        p = np.zeros(6)
+        p[0] = pitch_amp * np.sin(wp * t)
+        p[1] = yaw_amp * np.sin(wy * t)
+        p[2] = roll_amp * np.sin(wr * t + 0.7)
+        # forward position: integral of speed + surge_amp*sin(ws t)
+        p[5] = speed * t + surge_amp * (1 - np.cos(ws * t)) / ws
+        return p
+
+    return pose_fn
+
+
 def straight_trajectory(n_frames: int, speed: float = 1.0, yaw_rate: float = 0.0,
                         scan_period: float = 0.1):
     """Ground-truth internal-frame poses for a constant-twist trajectory.

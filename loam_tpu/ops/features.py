@@ -302,6 +302,171 @@ def select_ring(xyz, curv, gap_sq, pre_picked, n, cfg: LoamConfig):
     return labels, picked
 
 
+def select_rings_argmax(curv, gap_sq, pre_picked, n, cfg: LoamConfig):
+    """Batched greedy selection, iterating over PICKS instead of
+    candidates — exact select_ring labeling with a FIXED trip count.
+
+    The reference walk (src/scanRegistration.cpp:460-582) visits
+    curvature-sorted candidates and skips already-suppressed ones; the
+    candidate the walk takes next is always the extremal unpicked valid
+    candidate, so one masked argmax per pick reproduces the visit order
+    exactly:
+
+    * ties: the descending traversal walks a stable ascending insertion
+      sort backwards, visiting larger-index-first — emulated by argmax
+      over a lane-reversed key; the ascending flat walk visits
+      smaller-index-first — plain argmin (first occurrence);
+    * the below-threshold / span-end break is automatic: curvature is
+      monotone along the visit order, so when the extremal unpicked
+      candidate fails the threshold no further pick can qualify;
+    * the unmarked 21st-corner quirk = stopping after 20 picks (the
+      overflow candidate is neither labeled nor suppressed), and the
+      4th-flat quirk = suppressing only picks 1..3.
+
+    Unlike the while_loop walk (select_ring) this costs exactly
+    6 subregions x (20 corner + 4 flat) = 144 vector steps regardless of
+    batch size — a batched while_loop runs every lane to the SLOWEST
+    ring's visit count, which grows with B*F*rings and made frontend
+    cost superlinear in batch (round-3 BENCH.md).
+
+    curv/gap_sq (R, W) f32, pre_picked (R, W) bool, n (R,) int32.
+    Returns (labels (R, W) int8, picked (R, W) bool).
+    """
+    R, W = curv.shape
+    SUBW = cfg.ring_width // cfg.n_subregions + 8
+    ok_ring = n >= 12
+    iota_w = jnp.arange(W)[None, :]
+    iota_r = jnp.arange(R)
+
+    up_reach, down_reach = jax.vmap(
+        lambda g: _suppress_reach(
+            g, cfg.suppress_gap_sq, cfg.suppress_neighbors
+        )
+    )(gap_sq)
+
+    # subregion spans (same arithmetic as select_ring)
+    js = jnp.arange(cfg.n_subregions)
+    sp_all = (
+        5 * (cfg.n_subregions - js)[None, :] + (n[:, None] - 5) * js[None, :]
+    ) // cfg.n_subregions                                    # (R, n_sub)
+    ep_all = (
+        5 * (cfg.n_subregions - 1 - js)[None, :]
+        + (n[:, None] - 5) * (js[None, :] + 1)
+    ) // cfg.n_subregions - 1
+    idx_all = sp_all[..., None] + jnp.arange(SUBW)           # (R, n_sub, SUBW)
+    idxc = jnp.clip(idx_all, 0, W - 1)
+    valid = (idx_all <= ep_all[..., None]) & ok_ring[:, None, None]
+    gather_ring = jax.vmap(lambda a, i: a[i])
+    cv = gather_ring(curv, idxc.reshape(R, -1)).reshape(idxc.shape)
+
+    labels0 = jnp.zeros((R, W), jnp.int8)
+
+    def suppress(picked, ind, do):
+        up = gather_ring(up_reach, ind[:, None])[:, 0]
+        dn = gather_ring(down_reach, ind[:, None])[:, 0]
+        m = (iota_w >= (ind - dn)[:, None]) & (iota_w <= (ind + up)[:, None])
+        return picked | (m & do[:, None])
+
+    def pick_step(labels, picked, idxc_j, valid_j, key, descending, lab,
+                  do_suppress):
+        """One pick: extremal unpicked valid candidate, label, suppress."""
+        picked_g = jnp.take_along_axis(picked, idxc_j, axis=1)
+        avail = valid_j & ~picked_g
+        if descending:
+            k = jnp.where(avail, key, NEG_INF)[:, ::-1]
+            sel = (SUBW - 1) - jnp.argmax(k, axis=1)
+            take = jnp.take_along_axis(
+                jnp.where(avail, key, NEG_INF), sel[:, None], axis=1
+            )[:, 0] > NEG_INF
+        else:
+            k = jnp.where(avail, key, POS_INF)
+            sel = jnp.argmin(k, axis=1)
+            take = jnp.take_along_axis(k, sel[:, None], axis=1)[:, 0] < POS_INF
+        ind = jnp.take_along_axis(idxc_j, sel[:, None], axis=1)[:, 0]
+        labels = labels.at[iota_r, ind].set(
+            jnp.where(take, lab, labels[iota_r, ind])
+        )
+        picked = suppress(picked, ind, take & do_suppress)
+        return labels, picked
+
+    def subregion(carry, xs):
+        labels, picked = carry
+        idxc_j, valid_j, cv_j = xs
+
+        corner_key = cv_j
+        corner_valid = valid_j & (cv_j > cfg.curvature_threshold)
+
+        def corner_pick(k, c):
+            labels, picked = c
+            lab = jnp.where(
+                k < cfg.max_sharp_per_subregion, jnp.int8(2), jnp.int8(1)
+            )
+            return pick_step(
+                labels, picked, idxc_j, corner_valid, corner_key,
+                True, lab, jnp.array(True),
+            )
+
+        labels, picked = jax.lax.fori_loop(
+            0, cfg.max_less_sharp_per_subregion, corner_pick,
+            (labels, picked),
+        )
+
+        flat_valid = valid_j & (cv_j < cfg.curvature_threshold)
+
+        def flat_pick(k, c):
+            labels, picked = c
+            # the reference breaks BEFORE suppressing the final flat pick
+            return pick_step(
+                labels, picked, idxc_j, flat_valid, cv_j,
+                False, jnp.int8(-1),
+                k < cfg.max_flat_per_subregion - 1,
+            )
+
+        labels, picked = jax.lax.fori_loop(
+            0, cfg.max_flat_per_subregion, flat_pick, (labels, picked)
+        )
+        return (labels, picked), None
+
+    (labels, picked), _ = jax.lax.scan(
+        subregion, (labels0, pre_picked),
+        (
+            jnp.moveaxis(idxc, 1, 0),
+            jnp.moveaxis(valid, 1, 0),
+            jnp.moveaxis(cv, 1, 0),
+        ),
+    )
+    return labels, picked
+
+
+@functools.lru_cache(maxsize=None)
+def _walk_kernel_ok(n_sub, subw, W, max_sharp, max_less_sharp,
+                    max_flat) -> bool:
+    """One-time (per shape set, per process) TPU compile probe of the
+    selection-walk kernel, INCLUDING a double-vmap level — the exact
+    transform bench.py applies (vmap over scenarios AND frames).  If
+    Mosaic rejects the lowering for any reason, extract_features
+    degrades to the XLA select_ring path instead of crashing the caller
+    (round-3 postmortem: a kernel that compiled single-vmap failed at
+    the production double-vmap shape and killed the benchmark)."""
+    from .pallas import select_walk as SW
+
+    try:
+        def one(cm, fm, p0):
+            return SW.select_walk(
+                cm, fm, p0, n_sub=n_sub, subw=subw, W=W,
+                max_sharp=max_sharp, max_less_sharp=max_less_sharp,
+                max_flat=max_flat,
+            )
+
+        K = n_sub * subw
+        cm = jax.ShapeDtypeStruct((2, 2, 16, K), jnp.int32)
+        p0 = jax.ShapeDtypeStruct((2, 2, 16, W // 32), jnp.uint32)
+        jax.jit(jax.vmap(jax.vmap(one))).lower(cm, cm, p0).compile()
+        return True
+    except Exception:
+        return False
+
+
 def select_rings_walk(curv, gap_sq, pre_picked, n, cfg: LoamConfig,
                       interpret: bool = False):
     """Batched (R rings) greedy selection via the Pallas walk kernel
@@ -446,7 +611,22 @@ def extract_features(sweep: Sweep, cfg: LoamConfig = LoamConfig()) -> FeatureClo
     # construction for all selectable picks)
     gap_sq = jax.vmap(ring_gaps)(sweep.xyz)
 
-    if cfg.select_walk_kernel and jax.default_backend() == "tpu":
+    if cfg.select_argmax:
+        labels, _ = select_rings_argmax(
+            curv, gap_sq, pre_picked, counts, cfg
+        )
+    elif (
+        cfg.select_walk_kernel
+        and jax.default_backend() == "tpu"
+        and _walk_kernel_ok(
+            cfg.n_subregions,
+            cfg.ring_width // cfg.n_subregions + 8,
+            cfg.ring_width,
+            cfg.max_sharp_per_subregion,
+            cfg.max_less_sharp_per_subregion,
+            cfg.max_flat_per_subregion,
+        )
+    ):
         labels, _ = select_rings_walk(
             curv, gap_sq, pre_picked, counts, cfg
         )

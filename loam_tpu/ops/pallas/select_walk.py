@@ -82,16 +82,19 @@ def _walk_kernel(corner_ref, flat_ref, picked0_ref, out_ref, picked_s,
                  *, n_sub, subw, wb, max_sharp, max_less_sharp, max_flat):
     """One ring's full 6-subregion corner+flat walk.
 
-    corner_ref/flat_ref: (1, n_sub*subw) int32 SMEM meta in walk order.
-    picked0_ref: (1, wb) uint32 SMEM — pre-picked bit-field.
-    out_ref: (1, 4*wb) uint32 SMEM — [sharp | less | flat | picked] words.
+    corner_ref/flat_ref: (1, 1, n_sub*subw) int32 SMEM meta in walk
+    order.  picked0_ref: (1, 1, wb) uint32 SMEM — pre-picked bit-field.
+    out_ref: (1, 1, 4*wb) uint32 SMEM — [sharp|less|flat|picked] words.
     picked_s: (wb,) uint32 SMEM scratch — live picked bit-field.
+    (The refs carry a leading grid-blocked ring axis plus a singleton
+    axis so the SMEM block's last two dims equal the array dims — the
+    Mosaic lowering rule a (1, K) block over an (R, K) array violates.)
     """
     for w in range(wb):
-        picked_s[w] = picked0_ref[0, w]
-        out_ref[0, 0 * wb + w] = jnp.uint32(0)
-        out_ref[0, 1 * wb + w] = jnp.uint32(0)
-        out_ref[0, 2 * wb + w] = jnp.uint32(0)
+        picked_s[w] = picked0_ref[0, 0, w]
+        out_ref[0, 0, 0 * wb + w] = jnp.uint32(0)
+        out_ref[0, 0, 1 * wb + w] = jnp.uint32(0)
+        out_ref[0, 0, 2 * wb + w] = jnp.uint32(0)
 
     def unpack(meta):
         ind = meta & _IND_MASK
@@ -130,7 +133,7 @@ def _walk_kernel(corner_ref, flat_ref, picked0_ref, out_ref, picked_s,
             jnp.uint32(1) << (ind & 31).astype(jnp.uint32),
             jnp.uint32(0),
         )
-        out_ref[0, row * wb + w] = out_ref[0, row * wb + w] | bit
+        out_ref[0, 0, row * wb + w] = out_ref[0, 0, row * wb + w] | bit
 
     for j in range(n_sub):
         base = j * subw
@@ -138,7 +141,7 @@ def _walk_kernel(corner_ref, flat_ref, picked0_ref, out_ref, picked_s,
         # ---- corner walk (curvature-descending) -----------------------
         def corner_body(st):
             t, cnt, stop = st
-            ind, up, dn, valid, qual = unpack(corner_ref[0, base + t])
+            ind, up, dn, valid, qual = unpack(corner_ref[0, 0, base + t])
             qualify = valid & qual & ~picked_bit(ind)
             newcnt = cnt + qualify.astype(jnp.int32)
             take = qualify & (newcnt <= max_less_sharp)
@@ -161,7 +164,7 @@ def _walk_kernel(corner_ref, flat_ref, picked0_ref, out_ref, picked_s,
         # ---- flat walk (curvature-ascending) --------------------------
         def flat_body(st):
             t, cnt, stop = st
-            ind, up, dn, valid, qual = unpack(flat_ref[0, base + t])
+            ind, up, dn, valid, qual = unpack(flat_ref[0, 0, base + t])
             qualify = valid & qual & ~picked_bit(ind)
             newcnt = cnt + qualify.astype(jnp.int32)
             # the reference labels the pick, then breaks BEFORE its
@@ -180,7 +183,74 @@ def _walk_kernel(corner_ref, flat_ref, picked0_ref, out_ref, picked_s,
         )
 
     for w in range(wb):
-        out_ref[0, 3 * wb + w] = picked_s[w]
+        out_ref[0, 0, 3 * wb + w] = picked_s[w]
+
+
+@functools.lru_cache(maxsize=None)
+def _walk_call(n_sub, subw, wb, max_sharp, max_less_sharp, max_flat,
+               interpret):
+    """custom_vmap-wrapped pallas_call for the given static params.
+
+    The walk is per-ring independent (grid = one program per ring), so
+    ANY leading batch axis is just more rings: the vmap rule collapses
+    the batch axis into the grid axis and recurses, which makes the
+    kernel lower identically under vmap(vmap(...)) — the round-3 bench
+    crash was exactly this shape (bench.py batches over scenarios AND
+    frames; Mosaic rejects a 4-D operand against 2-D SMEM block specs).
+    """
+
+    def base(corner_meta, flat_meta, picked0_bits):
+        R = corner_meta.shape[0]
+        # ring axis leads, then a singleton, so every SMEM block's last
+        # two dims EQUAL the array's last two dims — the only layout the
+        # Mosaic lowering accepts for a (1, ..., K) block when K is not
+        # a multiple of 128
+        out = pl.pallas_call(
+            functools.partial(
+                _walk_kernel, n_sub=n_sub, subw=subw, wb=wb,
+                max_sharp=max_sharp, max_less_sharp=max_less_sharp,
+                max_flat=max_flat,
+            ),
+            grid=(R,),
+            in_specs=[
+                pl.BlockSpec((1, 1, n_sub * subw), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, n_sub * subw), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, wb), lambda r: (r, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 4 * wb), lambda r: (r, 0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((R, 1, 4 * wb), jnp.uint32),
+            scratch_shapes=[pltpu.SMEM((wb,), jnp.uint32)],
+            interpret=interpret,
+        )(
+            corner_meta[:, None, :],
+            flat_meta[:, None, :],
+            picked0_bits[:, None, :],
+        )
+        return out[:, 0, :]
+
+    fn = jax.custom_batching.custom_vmap(base)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, cm, fm, p0):
+        def bc(x, b):
+            return x if b else jax.lax.broadcast(x, (axis_size,))
+
+        cm = bc(cm, in_batched[0])
+        fm = bc(fm, in_batched[1])
+        p0 = bc(p0, in_batched[2])
+        lead = cm.shape[:-1]
+        out = fn(
+            cm.reshape(-1, cm.shape[-1]),
+            fm.reshape(-1, fm.shape[-1]),
+            p0.reshape(-1, p0.shape[-1]),
+        )
+        return out.reshape(lead + (out.shape[-1],)), True
+
+    return fn
 
 
 @functools.partial(
@@ -198,31 +268,13 @@ def select_walk(corner_meta, flat_meta, picked0_bits, *, n_sub, subw,
     corner_meta/flat_meta: (R, n_sub*subw) int32 (pack_walk_meta, walk
     order).  picked0_bits: (R, W//32) uint32 pre-picked bit-field.
     Returns (sharp, less, flat, picked) bit-fields, each (R, W//32).
+    Batch-safe: under vmap (any depth) the batch axes collapse into the
+    ring grid axis (see _walk_call).
     """
     assert W % 32 == 0, W
     wb = W // 32
-    R = corner_meta.shape[0]
-
-    out = pl.pallas_call(
-        functools.partial(
-            _walk_kernel, n_sub=n_sub, subw=subw, wb=wb,
-            max_sharp=max_sharp, max_less_sharp=max_less_sharp,
-            max_flat=max_flat,
-        ),
-        grid=(R,),
-        in_specs=[
-            pl.BlockSpec((1, n_sub * subw), lambda r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_sub * subw), lambda r: (r, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, wb), lambda r: (r, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 4 * wb), lambda r: (r, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((R, 4 * wb), jnp.uint32),
-        scratch_shapes=[pltpu.SMEM((wb,), jnp.uint32)],
-        interpret=interpret,
+    out = _walk_call(
+        n_sub, subw, wb, max_sharp, max_less_sharp, max_flat, interpret
     )(corner_meta, flat_meta, picked0_bits)
     return out[:, :wb], out[:, wb:2 * wb], out[:, 2 * wb:3 * wb], \
         out[:, 3 * wb:]

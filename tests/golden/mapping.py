@@ -183,7 +183,7 @@ class LaserMappingOracle:
                             arr[self._ind(i, j, k)] = row[k]
 
     def handle(self, pose_sum, corner_last: Cloud, surf_last: Cloud,
-               full: Cloud | None = None):
+               full: Cloud | None = None, imu_pitch_roll=None):
         """One mapping frame (:420-1096).  Returns dict with pose_aft,
         pose_bef, solved, registered (or None), surround (every 5th frame
         else None)."""
@@ -440,7 +440,12 @@ class LaserMappingOracle:
                 if delta_r < 0.05 and delta_t < 0.05:
                     break
 
-            # transformUpdate (:199-232), no IMU
+            # transformUpdate (:199-232): optional IMU roll/pitch blend
+            # (imu_pitch_roll = the IMU stream's (pitch, roll)
+            # interpolated at timeLaserOdometry + scanPeriod, :203-225)
+            if imu_pitch_roll is not None:
+                self.tobe[0] = 0.998 * self.tobe[0] + 0.002 * imu_pitch_roll[0]
+                self.tobe[2] = 0.998 * self.tobe[2] + 0.002 * imu_pitch_roll[1]
             self.transform_bef = np.asarray(pose_sum, float).copy()
             self.transform_aft = self.tobe.copy()
 

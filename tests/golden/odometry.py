@@ -58,9 +58,12 @@ def transform_to_start(xyz, intensity, transform):
     )
 
 
-def transform_to_end(xyz, intensity, transform):
-    """TransformToEnd (:126-194), no-IMU tail (imu terms zero).  Returns
-    (xyz_end, intensity_int)."""
+def transform_to_end(xyz, intensity, transform, imu=None):
+    """TransformToEnd (:126-194).  imu: optional (rpy_start, rpy_last,
+    shift_from_start) from the imuTrans message — enables the :168-190
+    tail that swaps the solver's start attitude for the IMU-observed one;
+    zeros/None reduce to exact identity.  Returns (xyz_end,
+    intensity_int)."""
     p0 = transform_to_start(xyz, intensity, transform)
     rx, ry, rz = transform[:3]
     tx, ty, tz = transform[3:]
@@ -70,15 +73,131 @@ def transform_to_end(xyz, intensity, transform):
     x5 = x4
     y5 = np.cos(rx) * y4 - np.sin(rx) * z4
     z5 = np.sin(rx) * y4 + np.cos(rx) * z4
+    x6 = np.cos(rz) * x5 - np.sin(rz) * y5 + tx
+    y6 = np.sin(rz) * x5 + np.cos(rz) * y5 + ty
+    z6 = z5 + tz
+    if imu is None:
+        return np.stack([x6, y6, z6], axis=1), np.trunc(intensity)
+
+    rpy_start, rpy_last, sfs = imu
+    ps, ys, rs = rpy_start
+    pl, yl, rl = rpy_last
+    # undo start IMU attitude + drift (:168-181)
+    x7 = np.cos(rs) * (x6 - sfs[0]) - np.sin(rs) * (y6 - sfs[1])
+    y7 = np.sin(rs) * (x6 - sfs[0]) + np.cos(rs) * (y6 - sfs[1])
+    z7 = z6 - sfs[2]
+    x8 = x7
+    y8 = np.cos(ps) * y7 - np.sin(ps) * z7
+    z8 = np.sin(ps) * y7 + np.cos(ps) * z7
+    x9 = np.cos(ys) * x8 + np.sin(ys) * z8
+    y9 = y8
+    z9 = -np.sin(ys) * x8 + np.cos(ys) * z8
+    # re-apply last-point IMU attitude (:183-190)
+    x10 = np.cos(yl) * x9 - np.sin(yl) * z9
+    y10 = y9
+    z10 = np.sin(yl) * x9 + np.cos(yl) * z9
+    x11 = x10
+    y11 = np.cos(pl) * y10 + np.sin(pl) * z10
+    z11 = -np.sin(pl) * y10 + np.cos(pl) * z10
     out = np.stack(
         [
-            np.cos(rz) * x5 - np.sin(rz) * y5 + tx,
-            np.sin(rz) * x5 + np.cos(rz) * y5 + ty,
-            z5 + tz,
+            np.cos(rl) * x11 + np.sin(rl) * y11,
+            -np.sin(rl) * x11 + np.cos(rl) * y11,
+            z11,
         ],
         axis=1,
     )
     return out, np.trunc(intensity)
+
+
+def plugin_imu_rotation(bc, bl, al):
+    """PluginIMURotation (:196-254): replace the solver-accumulated
+    start attitude bl with the IMU-observed last attitude al inside the
+    accumulated rotation bc.  All args (rx, ry, rz) == (pitch, yaw,
+    roll) triples; returns (acx, acy, acz)."""
+    bcx, bcy, bcz = bc
+    blx, bly, blz = bl
+    alx, aly, alz = al
+    sbcx, cbcx = np.sin(bcx), np.cos(bcx)
+    sbcy, cbcy = np.sin(bcy), np.cos(bcy)
+    sbcz, cbcz = np.sin(bcz), np.cos(bcz)
+    sblx, cblx = np.sin(blx), np.cos(blx)
+    sbly, cbly = np.sin(bly), np.cos(bly)
+    sblz, cblz = np.sin(blz), np.cos(blz)
+    salx, calx = np.sin(alx), np.cos(alx)
+    saly, caly = np.sin(aly), np.cos(aly)
+    salz, calz = np.sin(alz), np.cos(alz)
+
+    srx = (
+        -sbcx * (salx * sblx + calx * caly * cblx * cbly
+                 + calx * cblx * saly * sbly)
+        - cbcx * cbcz * (calx * saly * (cbly * sblz - cblz * sblx * sbly)
+                         - calx * caly * (sbly * sblz + cbly * cblz * sblx)
+                         + cblx * cblz * salx)
+        - cbcx * sbcz * (calx * caly * (cblz * sbly - cbly * sblx * sblz)
+                         - calx * saly * (cbly * cblz + sblx * sbly * sblz)
+                         + cblx * salx * sblz)
+    )
+    acx = -np.arcsin(srx)
+
+    srycrx = (
+        (cbcy * sbcz - cbcz * sbcx * sbcy)
+        * (calx * saly * (cbly * sblz - cblz * sblx * sbly)
+           - calx * caly * (sbly * sblz + cbly * cblz * sblx)
+           + cblx * cblz * salx)
+        - (cbcy * cbcz + sbcx * sbcy * sbcz)
+        * (calx * caly * (cblz * sbly - cbly * sblx * sblz)
+           - calx * saly * (cbly * cblz + sblx * sbly * sblz)
+           + cblx * salx * sblz)
+        + cbcx * sbcy * (salx * sblx + calx * caly * cblx * cbly
+                         + calx * cblx * saly * sbly)
+    )
+    crycrx = (
+        (cbcz * sbcy - cbcy * sbcx * sbcz)
+        * (calx * caly * (cblz * sbly - cbly * sblx * sblz)
+           - calx * saly * (cbly * cblz + sblx * sbly * sblz)
+           + cblx * salx * sblz)
+        - (sbcy * sbcz + cbcy * cbcz * sbcx)
+        * (calx * saly * (cbly * sblz - cblz * sblx * sbly)
+           - calx * caly * (sbly * sblz + cbly * cblz * sblx)
+           + cblx * cblz * salx)
+        + cbcx * cbcy * (salx * sblx + calx * caly * cblx * cbly
+                         + calx * cblx * saly * sbly)
+    )
+    acy = np.arctan2(srycrx / np.cos(acx), crycrx / np.cos(acx))
+
+    srzcrx = (
+        sbcx * (cblx * cbly * (calz * saly - caly * salx * salz)
+                - cblx * sbly * (caly * calz + salx * saly * salz)
+                + calx * salz * sblx)
+        - cbcx * cbcz * ((caly * calz + salx * saly * salz)
+                         * (cbly * sblz - cblz * sblx * sbly)
+                         + (calz * saly - caly * salx * salz)
+                         * (sbly * sblz + cbly * cblz * sblx)
+                         - calx * cblx * cblz * salz)
+        + cbcx * sbcz * ((caly * calz + salx * saly * salz)
+                         * (cbly * cblz + sblx * sbly * sblz)
+                         + (calz * saly - caly * salx * salz)
+                         * (cblz * sbly - cbly * sblx * sblz)
+                         + calx * cblx * salz * sblz)
+    )
+    crzcrx = (
+        sbcx * (cblx * sbly * (caly * salz - calz * salx * saly)
+                - cblx * cbly * (saly * salz + caly * calz * salx)
+                + calx * calz * sblx)
+        + cbcx * cbcz * ((saly * salz + caly * calz * salx)
+                         * (sbly * sblz + cbly * cblz * sblx)
+                         + (caly * salz - calz * salx * saly)
+                         * (cbly * sblz - cblz * sblx * sbly)
+                         + calx * calz * cblx * cblz)
+        - cbcx * sbcz * ((saly * salz + caly * calz * salx)
+                         * (cblz * sbly - cbly * sblx * sblz)
+                         + (caly * salz - calz * salx * saly)
+                         * (cbly * cblz + sblx * sbly * sblz)
+                         - calx * calz * cblx * sblz)
+    )
+    acz = np.arctan2(srzcrx / np.cos(acx), crzcrx / np.cos(acx))
+    return acx, acy, acz
 
 
 def accumulate_rotation(cx, cy, cz, lx, ly, lz):
@@ -299,24 +418,41 @@ class LaserOdometryOracle:
 
     # ---- one frame ----
 
-    def handle(self, feats: dict):
+    def handle(self, feats: dict, imu_trans: dict | None = None):
         """One sync-gated loop body (:427-931).  feats: the
-        scan_registration output dict.  Returns dict with pose (6,),
-        published corner/surf clouds (or None on skip frames), full cloud
-        (every 2nd frame), published flag."""
+        scan_registration output dict.  imu_trans: the imuTransHandler
+        payload (:330-354) — enables the velocity prior (:461-463), the
+        IMU tail of TransformToEnd, and PluginIMURotation (:848-856).
+        Returns dict with pose (6,), published corner/surf clouds (or
+        None on skip frames), full cloud (every 2nd frame), published
+        flag."""
         sharp = feats["sharp"]
         less_sharp = feats["less_sharp"].copy()
         flat = feats["flat"]
         less_flat = feats["less_flat"].copy()
         full = feats["full"].copy()
+        has_imu = imu_trans is not None
+        if has_imu:
+            imu_rpy_start = np.asarray(imu_trans["rpy_start"], float)
+            imu_rpy_last = np.asarray(imu_trans["rpy_last"], float)
+            imu_sfs = np.asarray(imu_trans["shift_from_start"], float)
+            imu_vfs = np.asarray(imu_trans["velo_from_start"], float)
+            imu_end = (imu_rpy_start, imu_rpy_last, imu_sfs)
+        else:
+            imu_sfs = np.zeros(3)
+            imu_end = None
 
         if not self.inited:
-            # init frame: hand clouds over, publish (:427-456)
+            # init frame: hand clouds over, publish, seed transformSum
+            # with the IMU start attitude (:427-456)
             self.corner_last = less_sharp
             self.surf_last = less_flat
             self.corner_last_num = len(less_sharp)
             self.surf_last_num = len(less_flat)
             self.inited = True
+            if has_imu:
+                self.transform_sum[0] += imu_rpy_start[0]
+                self.transform_sum[2] += imu_rpy_start[2]
             return {
                 "pose": self.transform_sum.copy(),
                 "corner_last": self.corner_last.copy(),
@@ -324,6 +460,10 @@ class LaserOdometryOracle:
                 "full": full,
                 "published": True,
             }
+
+        # IMU velocity prior on translation (:461-463)
+        if has_imu:
+            self.transform[3:] -= imu_vfs * SCAN_PERIOD
 
         ori_points: list[np.ndarray] = []   # accumulated pointOri
         coeff_sel: list[np.ndarray] = []    # accumulated (la,lb,lc,s*d)
@@ -483,36 +623,43 @@ class LaserOdometryOracle:
                 if delta_r < 0.1 and delta_t < 0.1:
                     break
 
-        # pose accumulation (:830-856), no-IMU plugin is identity
+        # pose accumulation (:830-856); without IMU the plugin is
+        # identity and the drift terms are zero
         rx, ry, rz = accumulate_rotation(
             self.transform_sum[0], self.transform_sum[1],
             self.transform_sum[2],
             -self.transform[0], -self.transform[1] * 1.05,
             -self.transform[2],
         )
-        x1 = np.cos(rz) * self.transform[3] - np.sin(rz) * self.transform[4]
-        y1 = np.sin(rz) * self.transform[3] + np.cos(rz) * self.transform[4]
-        z1 = self.transform[5] * 1.05
+        x1 = np.cos(rz) * (self.transform[3] - imu_sfs[0]) \
+            - np.sin(rz) * (self.transform[4] - imu_sfs[1])
+        y1 = np.sin(rz) * (self.transform[3] - imu_sfs[0]) \
+            + np.cos(rz) * (self.transform[4] - imu_sfs[1])
+        z1 = self.transform[5] * 1.05 - imu_sfs[2]
         x2 = x1
         y2 = np.cos(rx) * y1 - np.sin(rx) * z1
         z2 = np.sin(rx) * y1 + np.cos(rx) * z1
         tx = self.transform_sum[3] - (np.cos(ry) * x2 + np.sin(ry) * z2)
         ty = self.transform_sum[4] - y2
         tz = self.transform_sum[5] - (-np.sin(ry) * x2 + np.cos(ry) * z2)
+        if has_imu:
+            rx, ry, rz = plugin_imu_rotation(
+                (rx, ry, rz), imu_rpy_start, imu_rpy_last
+            )
         self.transform_sum = np.array([rx, ry, rz, tx, ty, tz])
 
         # end-of-sweep reprojection (:875-891) and swap (:893-908)
         ls_xyz, ls_int = transform_to_end(
-            less_sharp.xyz, less_sharp.intensity, self.transform
+            less_sharp.xyz, less_sharp.intensity, self.transform, imu_end
         )
         lf_xyz, lf_int = transform_to_end(
-            less_flat.xyz, less_flat.intensity, self.transform
+            less_flat.xyz, less_flat.intensity, self.transform, imu_end
         )
         self.frame_count += 1
         published = self.frame_count >= 2  # skipFrameNum + 1
         if published:
             fr_xyz, fr_int = transform_to_end(
-                full.xyz, full.intensity, self.transform
+                full.xyz, full.intensity, self.transform, imu_end
             )
             full = Cloud(fr_xyz, fr_int)
         self.corner_last = Cloud(ls_xyz, ls_int)

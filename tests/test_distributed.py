@@ -89,3 +89,40 @@ def test_dp_replay_has_no_cross_chip_traffic():
     for op in ("all-reduce(", "all-gather(", "collective-permute(",
                "all-to-all("):
         assert op not in txt, f"unexpected cross-chip collective: {op}"
+
+
+def test_dp_step_no_collectives_at_bench_config():
+    """Same structural guarantee for the PRODUCTION bench config
+    (ring_width 1024, real table sizes, exact kNN) — previously only the
+    small test config was certified (VERDICT r3 #5).  Checks the
+    per-step program (the unit bench.py's cadenced scan repeats); only
+    iteration caps are reduced, which cannot introduce collectives."""
+    import jax.numpy as jnp
+    from bench import _cfg as bench_cfg
+    from loam_tpu import pipeline
+
+    cfg = dataclasses.replace(
+        bench_cfg(), odom_max_iters=2, map_max_iters=1
+    )
+    mesh = dist.global_mesh(tp=1)
+    step = preplay.make_sharded_step(mesh, cfg)
+    state = preplay.batched_initial_state(8, cfg)
+    feats = jax.eval_shape(
+        lambda: preplay.batched_frontend(
+            jnp.zeros((8, 1, cfg.max_points, 3), jnp.float32),
+            jnp.zeros((8, 1, cfg.max_points), bool),
+            cfg,
+        )
+    )
+    feats = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape[:1] + s.shape[2:], s.dtype),
+        feats,
+    )
+    state_sds = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    txt = step.lower(state_sds, feats).compile().as_text()
+    for op in ("all-reduce(", "all-gather(", "collective-permute(",
+               "all-to-all("):
+        assert op not in txt, f"unexpected cross-chip collective: {op}"
+    del pipeline

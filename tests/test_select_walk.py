@@ -120,6 +120,36 @@ def test_walk_kernel_full_frontend_parity():
     np.testing.assert_array_equal(lab_k, lab_x)
 
 
+def test_walk_kernel_batched_vmap_levels():
+    """The round-3 bench crash: select_walk under vmap (and vmap(vmap))
+    must collapse batch axes into the ring grid axis (custom_vmap rule)
+    and label identically to the unbatched call."""
+    W = 128
+    cfg = _cfg(W)
+    xyz, curv, gap, pre, n = _ring_case(4, W, seed=7)
+    base_lab, base_pick = _kernel_labels(curv, gap, pre, n, cfg)
+
+    def k_one(c, g, p, nn):
+        return FT.select_rings_walk(c, g, p, nn, cfg, interpret=True)
+
+    # single vmap: batch of 2 identical ring sets
+    st = lambda a: jnp.stack([a, a])
+    lab1, pick1 = jax.jit(jax.vmap(k_one))(
+        st(curv), st(gap), st(pre), st(n)
+    )
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(lab1[b]), base_lab)
+        np.testing.assert_array_equal(np.asarray(pick1[b]), base_pick)
+
+    # double vmap (the bench.py scenario x frame transform)
+    st2 = lambda a: st(a)[None]
+    lab2, pick2 = jax.jit(jax.vmap(jax.vmap(k_one)))(
+        st2(curv), st2(gap), st2(pre), st2(n)
+    )
+    np.testing.assert_array_equal(np.asarray(lab2[0, 1]), base_lab)
+    np.testing.assert_array_equal(np.asarray(pick2[0, 1]), base_pick)
+
+
 def test_pack_unpack_bits_roundtrip():
     rng = np.random.default_rng(1)
     m = jnp.asarray(rng.uniform(size=(3, 128)) < 0.3)

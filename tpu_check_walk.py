@@ -22,6 +22,19 @@ cfg_x = dataclasses.replace(cfg_k, select_walk_kernel=False)
 raw_np, msk_np = _data(cfg_k, B, 2)
 raw, msk = jnp.asarray(raw_np[:, 1]), jnp.asarray(msk_np[:, 1])
 
+# 1) the round-3 failure mode: bench.py's DOUBLE vmap (scenarios AND
+# frames) must COMPILE on the real chip at the exact bench shapes.
+F = 17
+N = raw_np.shape[2]
+front2 = jax.jit(jax.vmap(jax.vmap(
+    lambda x, m: extract_features(frontend.ingest_sweep(x, m, cfg_k), cfg_k)
+)))
+front2.lower(
+    jax.ShapeDtypeStruct((B, F, N, 3), jnp.float32),
+    jax.ShapeDtypeStruct((B, F, N), jnp.bool_),
+).compile()
+print(f"double-vmap compile OK at (B={B}, F={F}, N={N})")
+
 fk = jax.jit(jax.vmap(lambda x, m: extract_features(frontend.ingest_sweep(x, m, cfg_k), cfg_k)))
 fx = jax.jit(jax.vmap(lambda x, m: extract_features(frontend.ingest_sweep(x, m, cfg_x), cfg_x)))
 a = fk(raw, msk); jax.block_until_ready(a)
