@@ -57,16 +57,17 @@ class LoamConfig:
     corner_scan_k: int = 0
     flat_scan_k: int = 0
     # Greedy-selection strategy (all three produce identical labels,
-    # pinned by tests/test_select_walk.py + tests/test_select_argmax.py):
-    # select_argmax=True (default) iterates over PICKS — a fixed
-    # 6x(20+4)-step masked-argmax schedule whose cost is independent of
-    # batch size (ops/features.py:select_rings_argmax); otherwise
-    # select_walk_kernel=True runs the Pallas scalar-core walk on TPU
-    # (ops/pallas/select_walk.py), and False falls back to the
-    # candidate-walk while_loop (select_ring), whose batched form runs
-    # every lane to the slowest ring's visit count.
-    select_argmax: bool = True
-    select_walk_kernel: bool = True
+    # pinned by tests/test_select_walk.py + tests/test_select_argmax.py).
+    # Measured on the real chip at bench shapes (tpu_check_select.py,
+    # (B, F)-batched frontend, ms per 17-frame call):
+    #   B=8: xla 1122 / walk 1386 / argmax 1754;  B=128: 30858 / 35487 /
+    #   44541 — the batched while_loop walk (select_ring) WINS at every
+    #   batch size, so it is the default.  select_argmax=True switches to
+    #   the fixed-trip-count pick-iteration form (144 masked argmax steps,
+    #   no argsorts); select_walk_kernel=True runs the Pallas scalar-core
+    #   walk on TPU (grid-serial across rings — loses at scale).
+    select_argmax: bool = False
+    select_walk_kernel: bool = False
 
     # ---- static feature-cloud capacities ---------------------------------
     max_sharp: int = 256        # 16 rings * 6 subregions * 2 = 192

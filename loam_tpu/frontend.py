@@ -138,35 +138,29 @@ def ingest_sweep_imu(xyz_velo, mask, cfg: LoamConfig = LoamConfig(),
     else:
         imu_trans = ImuTrans.zeros()
 
-    # ring-major scatter: stable sort by ring, then place each point at
-    # its within-ring arrival rank
+    # ring-major reorganization: stable sort by ring, then GATHER each
+    # (ring, rank) output slot's source point.  Sorted position of slot
+    # (r, w) is ring_starts[r] + w, valid iff w < counts[r] — the exact
+    # inverse of the scatter it replaces (bit-identical output), but
+    # with no scatter: TPU scatters serialize and dominated ingest at
+    # large scenario batch.
     ring_key = jnp.where(valid, scan_id, cfg.n_scans)
     order = jnp.argsort(ring_key, stable=True)
-    ring_s = ring_key[order]
-    # within-ring rank: position minus start offset of the ring
     counts = jnp.sum(
         (ring_key[None, :] == jnp.arange(cfg.n_scans)[:, None]), axis=1
     )
     ring_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts.astype(jnp.int32))[:-1]]
     )
-    pos = jnp.arange(n)
-    slot = pos - ring_starts[jnp.clip(ring_s, 0, cfg.n_scans - 1)]
-    ok_s = (ring_s < cfg.n_scans) & (slot < cfg.ring_width)
 
     W = cfg.ring_width
-    flat_idx = jnp.where(
-        ok_s, ring_s * W + jnp.clip(slot, 0, W - 1), cfg.n_scans * W
-    )
-    out_xyz = jnp.zeros((cfg.n_scans * W + 1, 3), jnp.float32)
-    out_rel = jnp.zeros((cfg.n_scans * W + 1,), jnp.float32)
-    out_mask = jnp.zeros((cfg.n_scans * W + 1,), bool)
-    out_xyz = out_xyz.at[flat_idx].set(xyz[order])
-    out_rel = out_rel.at[flat_idx].set(rel[order])
-    out_mask = out_mask.at[flat_idx].set(ok_s)
+    w_iota = jnp.arange(W)[None, :]
+    src_pos = ring_starts[:, None] + w_iota               # (n_scans, W)
+    ok = w_iota < counts[:, None]
+    src = order[jnp.clip(src_pos, 0, n - 1)]
     sweep = Sweep(
-        xyz=out_xyz[:-1].reshape(cfg.n_scans, W, 3),
-        rel=out_rel[:-1].reshape(cfg.n_scans, W),
-        mask=out_mask[:-1].reshape(cfg.n_scans, W),
+        xyz=jnp.where(ok[..., None], xyz[src], 0.0),
+        rel=jnp.where(ok, rel[src], 0.0),
+        mask=ok,
     )
     return sweep, imu_trans

@@ -85,34 +85,48 @@ def _hash_u32(a, b):
 
 def aggregate_by_voxel(xyz, mask, leaf, out_cap):
     """Pre-aggregate a frame's points into unique voxels:
-    returns (key_hi, key_lo, sum_xyz, cnt, valid) of length out_cap."""
-    key_hi, key_lo = pack_coords2(voxel_coords(xyz, leaf))
+    returns (key_hi, key_lo, sum_xyz, cnt, valid) of length out_cap.
+
+    Scatter-free: after the lexicographic sort segments are contiguous,
+    so per-voxel sums are inclusive-prefix-sum differences located with
+    a vectorized binary search (seg is nondecreasing), and the
+    representative key is simply the key at each segment's first sorted
+    position.  Coordinates are centered on their voxel corner before the
+    cumsum so the prefix magnitude is bounded by N*leaf (without it a
+    world-frame prefix hundreds of metres out would cost the stored sums
+    ~decimetres of rounding)."""
+    vox = voxel_coords(xyz, leaf)
+    key_hi, key_lo = pack_coords2(vox)
     key_hi = jnp.where(mask, key_hi, EMPTY)
     order = lexsort2(key_hi, key_lo)
     hi_s, lo_s = key_hi[order], key_lo[order]
     xyz_s = xyz[order]
+    corner_s = vox[order].astype(xyz.dtype) * jnp.asarray(leaf, xyz.dtype)
     valid_s = hi_s != EMPTY
     newseg = jnp.concatenate(
         [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
     ) & valid_s
     seg = jnp.cumsum(newseg.astype(jnp.int32)) - 1
     seg = jnp.where(valid_s, jnp.minimum(seg, out_cap), out_cap)
-    sums = jax.ops.segment_sum(
-        jnp.where(valid_s[:, None], xyz_s, 0.0), seg, num_segments=out_cap + 1
-    )[:out_cap]
-    cnts = jax.ops.segment_sum(
-        valid_s.astype(jnp.float32), seg, num_segments=out_cap + 1
-    )[:out_cap]
-    # representative key per segment = the key at its first (flagged)
-    # sorted position; indices are unique so a plain scatter is exact
-    seg_first_pos = jnp.zeros((out_cap + 1,), jnp.int32).at[
-        jnp.where(newseg, seg, out_cap)
-    ].set(jnp.arange(seg.shape[0], dtype=jnp.int32))
-    out_hi = hi_s[seg_first_pos[:out_cap]]
-    out_lo = lo_s[seg_first_pos[:out_cap]]
-    valid = cnts > 0
-    out_hi = jnp.where(valid, out_hi, EMPTY)
-    return out_hi, out_lo, sums, cnts, valid
+
+    N = xyz.shape[0]
+    s_iota = jnp.arange(out_cap)
+    starts = jnp.searchsorted(seg, s_iota, side="left")
+    ends = jnp.searchsorted(seg, s_iota, side="right")
+    st = jnp.clip(starts, 0, N - 1)
+    en = jnp.clip(ends - 1, 0, N - 1)
+    cnts = (ends - starts).astype(jnp.float32)
+    valid = ends > starts
+
+    vals = jnp.where(valid_s[:, None], xyz_s - corner_s, 0.0)
+    csum = jnp.cumsum(vals, axis=0)
+    sums_c = csum[en] - csum[st] + vals[st]
+    sums = jnp.where(
+        valid[:, None], corner_s[st] * cnts[:, None] + sums_c, 0.0
+    )
+    out_hi = jnp.where(valid, hi_s[st], EMPTY)
+    out_lo = lo_s[st]
+    return out_hi, out_lo, sums, jnp.where(valid, cnts, 0.0), valid
 
 
 def table_insert(table: VoxelTable, key_hi, key_lo, sums, cnts, valid,
@@ -297,15 +311,21 @@ def local_map_points(table: VoxelTable, center_cube, fov, cap: int,
     offc = jnp.clip(off + r, 0, 2 * r)
     fov_ok = fov[offc[:, 0], offc[:, 1], offc[:, 2]]
     keep = in_region & fov_ok
-    # cumsum + scatter compaction (no argsort over the whole table)
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    slot = jnp.where(keep & (pos < cap), pos, cap)
-    xyz = jnp.zeros((cap + 1, 3), cent.dtype).at[slot].set(cent)[:cap]
-    m = jnp.zeros((cap + 1,), bool).at[slot].set(keep)[:cap]
+    # gather compaction: slot j holds the (j+1)-th kept centroid, found
+    # by binary search over the inclusive keep-cumsum (identical output
+    # to the scatter form it replaces; TPU scatters serialize and this
+    # runs over the whole table twice per mapping frame)
+    pos = jnp.cumsum(keep.astype(jnp.int32))
+    total = pos[-1]
+    j = jnp.arange(cap)
+    src = jnp.clip(
+        jnp.searchsorted(pos, j + 1, side="left"), 0, keep.shape[0] - 1
+    )
+    ok = j < total
     return LocalMap(
-        xyz=xyz,
-        mask=m,
-        n_local=jnp.sum(keep.astype(jnp.int32)),
+        xyz=jnp.where(ok[:, None], cent[src], 0.0),
+        mask=ok,
+        n_local=total,
     )
 
 

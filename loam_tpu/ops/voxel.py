@@ -72,7 +72,8 @@ def voxel_downsample(xyz, mask, leaf, out_cap, extra=None):
     Returns (out_xyz (out_cap,3), out_extra (out_cap,), out_mask).
     Voxels beyond out_cap are dropped (capacity pressure).
     """
-    key_hi, key_lo = pack_coords2(voxel_coords(xyz, leaf))
+    vox = voxel_coords(xyz, leaf)
+    key_hi, key_lo = pack_coords2(vox)
     key_hi = jnp.where(mask, key_hi, _INVALID_HI)
     order = lexsort2(key_hi, key_lo)
     hi_s = key_hi[order]
@@ -91,21 +92,47 @@ def voxel_downsample(xyz, mask, leaf, out_cap, extra=None):
     seg = jnp.cumsum(newseg.astype(jnp.int32)) - 1
     seg = jnp.where(valid_s, jnp.minimum(seg, out_cap), out_cap)
 
-    sums = jax.ops.segment_sum(
-        jnp.where(valid_s[:, None], xyz_s, 0.0), seg, num_segments=out_cap + 1
-    )[:out_cap]
-    cnt = jax.ops.segment_sum(
-        valid_s.astype(xyz.dtype), seg, num_segments=out_cap + 1
-    )[:out_cap]
-    out_mask = cnt > 0
-    out_xyz = sums / jnp.maximum(cnt, 1.0)[:, None]
+    # Sorted-segment sums WITHOUT scatter (TPU scatters serialize —
+    # segment_sum here was a top frontend cost at large batch): segments
+    # are contiguous after the sort, so each segment's sum is a
+    # difference of inclusive prefix sums, located per output slot with
+    # a vectorized binary search (seg is nondecreasing).  Coordinates
+    # are centered on their voxel corner first, so the prefix magnitude
+    # is bounded by N*leaf and the cumsum-difference rounding stays
+    # ~1e-7 relative — without centering, a long ring's prefix would
+    # cost the centroid ~millimetres.
+    corner_s = (vox[order].astype(xyz.dtype)) * jnp.asarray(leaf, xyz.dtype)
+    vals = jnp.where(valid_s[:, None], xyz_s - corner_s, 0.0)
+    N = xyz.shape[0]
+    s_iota = jnp.arange(out_cap)
+    starts = jnp.searchsorted(seg, s_iota, side="left")
+    ends = jnp.searchsorted(seg, s_iota, side="right")
+    cnt = (ends - starts).astype(xyz.dtype)
+    out_mask = ends > starts
+    st = jnp.clip(starts, 0, N - 1)
+    en = jnp.clip(ends - 1, 0, N - 1)
+
+    csum = jnp.cumsum(vals, axis=0)
+    sums = csum[en] - csum[st] + vals[st]
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    out_xyz = jnp.where(
+        out_mask[:, None], corner_s[st] + sums / denom, 0.0
+    )
 
     if extra is not None:
+        # same trick, with every element centered on ITS segment's first
+        # value (within a voxel the extra channel — ring + 0.1*relTime —
+        # varies by <= the intra-voxel time spread, so the prefix stays
+        # tiny and trunc(rel) ring decoding is never perturbed)
         ex_s = extra[order]
-        ex_sum = jax.ops.segment_sum(
-            jnp.where(valid_s, ex_s, 0.0), seg, num_segments=out_cap + 1
-        )[:out_cap]
-        out_extra = ex_sum / jnp.maximum(cnt, 1.0)
+        first_of_seg = ex_s[st]                       # (out_cap,)
+        seg_c = jnp.clip(seg, 0, out_cap - 1)
+        exv = jnp.where(valid_s, ex_s - first_of_seg[seg_c], 0.0)
+        ecs = jnp.cumsum(exv)
+        ex_sum = ecs[en] - ecs[st] + exv[st]
+        out_extra = jnp.where(
+            out_mask, first_of_seg + ex_sum / jnp.maximum(cnt, 1.0), 0.0
+        )
     else:
         out_extra = jnp.zeros((out_cap,), xyz.dtype)
     return out_xyz, out_extra, out_mask
