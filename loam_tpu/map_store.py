@@ -33,6 +33,7 @@ from .config import LoamConfig
 from .ops.voxel import (
     lexsort2,
     pack_coords2,
+    unpack_coords2,
     voxel_coords,
 )
 from .utils import rotations
@@ -95,38 +96,41 @@ def aggregate_by_voxel(xyz, mask, leaf, out_cap):
     cumsum so the prefix magnitude is bounded by N*leaf (without it a
     world-frame prefix hundreds of metres out would cost the stored sums
     ~decimetres of rounding)."""
+    from .ops.compact import compact_masked
+
+    N = xyz.shape[0]
     vox = voxel_coords(xyz, leaf)
     key_hi, key_lo = pack_coords2(vox)
     key_hi = jnp.where(mask, key_hi, EMPTY)
-    order = lexsort2(key_hi, key_lo)
-    hi_s, lo_s = key_hi[order], key_lo[order]
-    xyz_s = xyz[order]
-    corner_s = vox[order].astype(xyz.dtype) * jnp.asarray(leaf, xyz.dtype)
-    valid_s = hi_s != EMPTY
-    newseg = jnp.concatenate(
-        [jnp.ones((1,), bool), (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]
-    ) & valid_s
-    seg = jnp.cumsum(newseg.astype(jnp.int32)) - 1
-    seg = jnp.where(valid_s, jnp.minimum(seg, out_cap), out_cap)
-
-    N = xyz.shape[0]
-    s_iota = jnp.arange(out_cap)
-    starts = jnp.searchsorted(seg, s_iota, side="left")
-    ends = jnp.searchsorted(seg, s_iota, side="right")
-    st = jnp.clip(starts, 0, N - 1)
-    en = jnp.clip(ends - 1, 0, N - 1)
-    cnts = (ends - starts).astype(jnp.float32)
-    valid = ends > starts
-
-    vals = jnp.where(valid_s[:, None], xyz_s - corner_s, 0.0)
-    csum = jnp.cumsum(vals, axis=0)
-    sums_c = csum[en] - csum[st] + vals[st]
-    sums = jnp.where(
-        valid[:, None], corner_s[st] * cnts[:, None] + sums_c, 0.0
+    hi_s, lo_s, xs, ys, zs = jax.lax.sort(
+        (key_hi, key_lo, xyz[:, 0], xyz[:, 1], xyz[:, 2]),
+        num_keys=2, is_stable=True,
     )
-    out_hi = jnp.where(valid, hi_s[st], EMPTY)
-    out_lo = lo_s[st]
-    return out_hi, out_lo, sums, jnp.where(valid, cnts, 0.0), valid
+    valid_s = hi_s != EMPTY
+    diff = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+    newseg = jnp.concatenate([jnp.ones((1,), bool), diff]) & valid_s
+    is_end = jnp.concatenate([diff, jnp.ones((1,), bool)]) & valid_s
+
+    pos = jnp.arange(N, dtype=jnp.int32)
+    (p0,), valid = compact_masked(newseg, (pos,), out_cap)
+    (p1,), _ = compact_masked(is_end, (pos,), out_cap)
+    p0 = jnp.clip(p0, 0, N - 1)
+    p1 = jnp.clip(p1, 0, N - 1)
+    cnts = jnp.where(valid, (p1 - p0 + 1).astype(jnp.float32), 0.0)
+
+    corner = unpack_coords2(hi_s, lo_s).astype(xyz.dtype) * jnp.asarray(
+        leaf, xyz.dtype
+    )
+    sxyz = jnp.stack([xs, ys, zs], -1)
+    vals = jnp.where(valid_s[:, None], sxyz - corner, 0.0)
+    csum = jnp.cumsum(vals, axis=0)
+    sums_c = csum[p1] - csum[p0] + vals[p0]
+    sums = jnp.where(
+        valid[:, None], corner[p0] * cnts[:, None] + sums_c, 0.0
+    )
+    out_hi = jnp.where(valid, hi_s[p0], EMPTY)
+    out_lo = lo_s[p0]
+    return out_hi, out_lo, sums, cnts, valid
 
 
 def table_insert(table: VoxelTable, key_hi, key_lo, sums, cnts, valid,
@@ -311,21 +315,19 @@ def local_map_points(table: VoxelTable, center_cube, fov, cap: int,
     offc = jnp.clip(off + r, 0, 2 * r)
     fov_ok = fov[offc[:, 0], offc[:, 1], offc[:, 2]]
     keep = in_region & fov_ok
-    # gather compaction: slot j holds the (j+1)-th kept centroid, found
-    # by binary search over the inclusive keep-cumsum (identical output
-    # to the scatter form it replaces; TPU scatters serialize and this
-    # runs over the whole table twice per mapping frame)
-    pos = jnp.cumsum(keep.astype(jnp.int32))
-    total = pos[-1]
-    j = jnp.arange(cap)
-    src = jnp.clip(
-        jnp.searchsorted(pos, j + 1, side="left"), 0, keep.shape[0] - 1
+    # sort-compaction (ops/compact.py): one stable lax.sort keyed on
+    # ~keep with the centroid columns as payload — runs over the whole
+    # table twice per mapping frame, where both the scatter and the
+    # binary-search forms measured slower in the fused program
+    from .ops.compact import compact_masked
+
+    (x, y, z), ok = compact_masked(
+        keep, (cent[:, 0], cent[:, 1], cent[:, 2]), cap
     )
-    ok = j < total
     return LocalMap(
-        xyz=jnp.where(ok[:, None], cent[src], 0.0),
+        xyz=jnp.where(ok[:, None], jnp.stack([x, y, z], -1), 0.0),
         mask=ok,
-        n_local=total,
+        n_local=jnp.sum(keep.astype(jnp.int32)),
     )
 
 

@@ -559,24 +559,17 @@ def select_rings_walk(curv, gap_sq, pre_picked, n, cfg: LoamConfig,
 
 def _compact(xyz, rel, mask, cap):
     """Stable compaction of masked points into a fixed-capacity cloud
-    (ring-major order preserved).
+    (ring-major order preserved) — one stable lax.sort keyed on ~mask
+    with the point columns as payload (see ops/compact.py for why this
+    beats both the scatter and binary-search forms on TPU)."""
+    from .compact import compact_masked
 
-    Gather formulation: output slot j holds the (j+1)-th masked point,
-    located with a vectorized binary search over the inclusive mask
-    cumsum.  Bit-identical to the scatter form it replaces, but TPU
-    scatters serialize — the old .at[slot].set compactions were the
-    frontend's dominant cost at large scenario batch (37x cost for 16x
-    batch, profile_tail.py)."""
-    pos = jnp.cumsum(mask.astype(jnp.int32))           # inclusive
-    total = pos[-1]
-    j = jnp.arange(cap)
-    src = jnp.clip(
-        jnp.searchsorted(pos, j + 1, side="left"), 0, mask.shape[0] - 1
+    (x, y, z, r), ok = compact_masked(
+        mask, (xyz[:, 0], xyz[:, 1], xyz[:, 2], rel), cap
     )
-    ok = j < total
     return PointCloud(
-        xyz=jnp.where(ok[:, None], xyz[src], 0.0),
-        rel=jnp.where(ok, rel[src], 0.0),
+        xyz=jnp.where(ok[:, None], jnp.stack([x, y, z], -1), 0.0),
+        rel=jnp.where(ok, r, 0.0),
         mask=ok,
     )
 
@@ -600,18 +593,18 @@ def extract_features(sweep: Sweep, cfg: LoamConfig = LoamConfig()) -> FeatureClo
     # Compact valid points ring-major (the reference's concatenation
     # order), run the 1-D prefilter globally, and gather marks back into
     # ring rows.
+    from .compact import compact_masked
+
     n_scans, W = sweep.mask.shape
     flat_mask0 = sweep.mask.reshape(-1)
     flat_xyz0 = sweep.xyz.reshape(-1, 3)
-    # gather-based compaction (same binary-search form as _compact —
-    # scatters serialize on TPU)
-    pos0 = jnp.cumsum(flat_mask0.astype(jnp.int32))
-    n_total = pos0[-1]
-    j0 = jnp.arange(n_scans * W)
-    src0 = jnp.clip(
-        jnp.searchsorted(pos0, j0 + 1, side="left"), 0, n_scans * W - 1
+    (cx, cy, cz), ok0 = compact_masked(
+        flat_mask0,
+        (flat_xyz0[:, 0], flat_xyz0[:, 1], flat_xyz0[:, 2]),
+        n_scans * W,
     )
-    xyz_c = jnp.where((j0 < n_total)[:, None], flat_xyz0[src0], 0.0)
+    xyz_c = jnp.where(ok0[:, None], jnp.stack([cx, cy, cz], -1), 0.0)
+    n_total = jnp.sum(flat_mask0.astype(jnp.int32))
     picked_c, _ = ring_prefilter(xyz_c, n_total, cfg)
     ring_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]

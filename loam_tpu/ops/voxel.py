@@ -72,67 +72,66 @@ def voxel_downsample(xyz, mask, leaf, out_cap, extra=None):
     Returns (out_xyz (out_cap,3), out_extra (out_cap,), out_mask).
     Voxels beyond out_cap are dropped (capacity pressure).
     """
+    from .compact import compact_masked
+
+    N = xyz.shape[0]
     vox = voxel_coords(xyz, leaf)
     key_hi, key_lo = pack_coords2(vox)
     key_hi = jnp.where(mask, key_hi, _INVALID_HI)
-    order = lexsort2(key_hi, key_lo)
-    hi_s = key_hi[order]
-    lo_s = key_lo[order]
-    xyz_s = xyz[order]
-    valid_s = hi_s != _INVALID_HI
-
-    # segment ids: new segment where the sorted key changes
-    newseg = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
-        ]
+    ex_in = extra if extra is not None else jnp.zeros((N,), xyz.dtype)
+    # ONE multi-key payload sort groups each voxel's points contiguously
+    # (replaces argsort + per-column gathers)
+    hi_s, lo_s, xs, ys, zs, ex_s = jax.lax.sort(
+        (key_hi, key_lo, xyz[:, 0], xyz[:, 1], xyz[:, 2], ex_in),
+        num_keys=2, is_stable=True,
     )
-    newseg = newseg & valid_s
-    seg = jnp.cumsum(newseg.astype(jnp.int32)) - 1
-    seg = jnp.where(valid_s, jnp.minimum(seg, out_cap), out_cap)
+    valid_s = hi_s != _INVALID_HI
+    diff = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+    newseg = jnp.concatenate([jnp.ones((1,), bool), diff]) & valid_s
+    is_end = jnp.concatenate([diff, jnp.ones((1,), bool)]) & valid_s
 
-    # Sorted-segment sums WITHOUT scatter (TPU scatters serialize —
-    # segment_sum here was a top frontend cost at large batch): segments
-    # are contiguous after the sort, so each segment's sum is a
-    # difference of inclusive prefix sums, located per output slot with
-    # a vectorized binary search (seg is nondecreasing).  Coordinates
-    # are centered on their voxel corner first, so the prefix magnitude
-    # is bounded by N*leaf and the cumsum-difference rounding stays
-    # ~1e-7 relative — without centering, a long ring's prefix would
-    # cost the centroid ~millimetres.
-    corner_s = (vox[order].astype(xyz.dtype)) * jnp.asarray(leaf, xyz.dtype)
-    vals = jnp.where(valid_s[:, None], xyz_s - corner_s, 0.0)
-    N = xyz.shape[0]
-    s_iota = jnp.arange(out_cap)
-    starts = jnp.searchsorted(seg, s_iota, side="left")
-    ends = jnp.searchsorted(seg, s_iota, side="right")
-    cnt = (ends - starts).astype(xyz.dtype)
-    out_mask = ends > starts
-    st = jnp.clip(starts, 0, N - 1)
-    en = jnp.clip(ends - 1, 0, N - 1)
+    # per-segment start/end POSITIONS via two tiny sort-compactions
+    # (segment j's boundaries land at slot j because boundaries appear
+    # in segment order); everything else is gathered at those positions.
+    # No scatter, no binary search — see ops/compact.py.
+    pos = jnp.arange(N, dtype=jnp.int32)
+    (p0,), ok = compact_masked(newseg, (pos,), out_cap)
+    (p1,), _ = compact_masked(is_end, (pos,), out_cap)
+    p0 = jnp.clip(p0, 0, N - 1)
+    p1 = jnp.clip(p1, 0, N - 1)
+    cnt = jnp.where(ok, (p1 - p0 + 1).astype(xyz.dtype), 0.0)
+    denom = jnp.maximum(cnt, 1.0)
 
+    # centroid sums as inclusive-prefix differences, centered on the
+    # voxel corner so the prefix magnitude is bounded by N*leaf and the
+    # cumsum-difference rounding stays ~1e-7 relative (uncentered, a
+    # long ring's prefix would cost the centroid ~millimetres)
+    corner = unpack_coords2(hi_s, lo_s).astype(xyz.dtype) * jnp.asarray(
+        leaf, xyz.dtype
+    )
+    sxyz = jnp.stack([xs, ys, zs], -1)
+    vals = jnp.where(valid_s[:, None], sxyz - corner, 0.0)
     csum = jnp.cumsum(vals, axis=0)
-    sums = csum[en] - csum[st] + vals[st]
-    denom = jnp.maximum(cnt, 1.0)[:, None]
+    sums = csum[p1] - csum[p0] + vals[p0]
     out_xyz = jnp.where(
-        out_mask[:, None], corner_s[st] + sums / denom, 0.0
+        ok[:, None], corner[p0] + sums / denom[:, None], 0.0
     )
 
     if extra is not None:
         # same trick, with every element centered on ITS segment's first
         # value (within a voxel the extra channel — ring + 0.1*relTime —
-        # varies by <= the intra-voxel time spread, so the prefix stays
-        # tiny and trunc(rel) ring decoding is never perturbed)
-        ex_s = extra[order]
-        first_of_seg = ex_s[st]                       # (out_cap,)
-        seg_c = jnp.clip(seg, 0, out_cap - 1)
-        exv = jnp.where(valid_s, ex_s - first_of_seg[seg_c], 0.0)
-        ecs = jnp.cumsum(exv)
-        ex_sum = ecs[en] - ecs[st] + exv[st]
-        out_extra = jnp.where(
-            out_mask, first_of_seg + ex_sum / jnp.maximum(cnt, 1.0), 0.0
+        # varies by <= the intra-voxel spread, so the prefix stays tiny
+        # and trunc(rel) ring decoding is never perturbed)
+        seg = jnp.cumsum(newseg.astype(jnp.int32)) - 1
+        first_of_seg = ex_s[p0]                        # (out_cap,)
+        exv = jnp.where(
+            valid_s,
+            ex_s - first_of_seg[jnp.clip(seg, 0, out_cap - 1)],
+            0.0,
         )
+        ecs = jnp.cumsum(exv)
+        ex_sum = ecs[p1] - ecs[p0] + exv[p0]
+        out_extra = jnp.where(ok, first_of_seg + ex_sum / denom, 0.0)
     else:
         out_extra = jnp.zeros((out_cap,), xyz.dtype)
-    return out_xyz, out_extra, out_mask
+    return out_xyz, out_extra, jnp.where(ok, cnt > 0, False)
