@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--viz", action="store_true",
                    help="write viz.png + viewer.html (the rviz displays: "
                         "map surround, trajectories)")
+    p.add_argument(
+        "--live-port", type=int, default=-1,
+        help="online mode: serve the LIVE viewer (rviz equivalent — "
+             "pose trail + ~1 Hz map surround over HTTP polling) on "
+             "this port (0 = auto-pick); -1 disables",
+    )
     return p
 
 
@@ -132,6 +138,12 @@ def main(argv=None) -> int:
 
         eng = StreamingEngine(cfg)
         eng.start()
+        live = None
+        if args.live_port >= 0:
+            from .viz_live import LiveServer
+
+            live = LiveServer(eng, port=args.live_port).start()
+            print(f"[loam_tpu] live viewer at {live.url}", flush=True)
         t0 = time.perf_counter()
         t_base = stamps[0]
         imu_cursor = 0
@@ -154,6 +166,8 @@ def main(argv=None) -> int:
         dt = time.perf_counter() - t0
         st = eng.stats()
         traj = eng.trajectory()
+        if live is not None:
+            live.stop()
         eng.stop()
         print(f"[loam_tpu] online: {st.odom_frames} odometry frames, "
               f"{st.map_frames} mapping frames, "
