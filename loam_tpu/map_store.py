@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 from .config import LoamConfig
 from .ops.voxel import (
-    lexsort2,
     pack_coords2,
     unpack_coords2,
     voxel_coords,
@@ -88,13 +87,13 @@ def aggregate_by_voxel(xyz, mask, leaf, out_cap):
     """Pre-aggregate a frame's points into unique voxels:
     returns (key_hi, key_lo, sum_xyz, cnt, valid) of length out_cap.
 
-    Scatter-free: after the lexicographic sort segments are contiguous,
-    so per-voxel sums are inclusive-prefix-sum differences located with
-    a vectorized binary search (seg is nondecreasing), and the
-    representative key is simply the key at each segment's first sorted
-    position.  Coordinates are centered on their voxel corner before the
-    cumsum so the prefix magnitude is bounded by N*leaf (without it a
-    world-frame prefix hundreds of metres out would cost the stored sums
+    Scatter-free: one multi-key payload sort groups each voxel's points
+    contiguously, two tiny sort-compactions (ops/compact.py) give every
+    segment's start/end positions, and per-voxel sums are
+    inclusive-prefix-sum differences gathered at those positions.
+    Coordinates are centered on their voxel corner before the cumsum so
+    the prefix magnitude is bounded by N*leaf (without it a world-frame
+    prefix hundreds of metres out would cost the stored sums
     ~decimetres of rounding)."""
     from .ops.compact import compact_masked
 

@@ -5,8 +5,10 @@ src/scanRegistration.cpp:576-579 and src/laserMapping.cpp:388-395,693-701,
 
 PCL's filter bins points into leaf-sized voxels and emits one centroid per
 occupied voxel.  Here: pack voxel coordinates into a two-word key
-(x32-friendly), lexicographically sort with a stable two-pass argsort, and
-segment-mean into a fixed-capacity output — all static shapes.
+(x32-friendly), group with ONE stable multi-key payload lax.sort, and
+segment-mean via corner-centered prefix-sum differences gathered at the
+segment boundaries (two tiny sort-compactions) — all static shapes,
+no scatter (see ops/compact.py for the measured rationale).
 """
 
 from __future__ import annotations
@@ -46,19 +48,6 @@ def unpack_coords2(key_hi, key_lo):
 
 
 _INVALID_HI = jnp.uint32(0xFFFFFFFF)
-
-
-def lexsort2(key_hi, key_lo):
-    """Stable lexicographic argsort by (key_hi, key_lo).
-
-    One multi-key lax.sort pass (hi primary, lo secondary, iota payload)
-    — half the cost of the classic two chained stable argsorts on TPU,
-    identical permutation."""
-    iota = jnp.arange(key_hi.shape[0], dtype=jnp.int32)
-    _, _, perm = jax.lax.sort(
-        (key_hi, key_lo, iota), num_keys=2, is_stable=True
-    )
-    return perm
 
 
 def voxel_downsample(xyz, mask, leaf, out_cap, extra=None):

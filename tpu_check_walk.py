@@ -17,7 +17,10 @@ def timeit(fn, n=10):
     return (time.perf_counter() - t0) / n * 1000
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-cfg_k = _cfg()
+# force the kernel path (the production default is the measured-fastest
+# XLA walk; this script validates the Pallas alternative stays correct)
+cfg_k = dataclasses.replace(_cfg(), select_argmax=False,
+                            select_walk_kernel=True)
 cfg_x = dataclasses.replace(cfg_k, select_walk_kernel=False)
 raw_np, msk_np = _data(cfg_k, B, 2)
 raw, msk = jnp.asarray(raw_np[:, 1]), jnp.asarray(msk_np[:, 1])
