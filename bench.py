@@ -159,11 +159,24 @@ def run_once(B: int, F: int, per_stage: bool = False):
         outs, _ = core(fall)
         jax.block_until_ready(outs)
 
+    # sanity-gate the warmup output BEFORE timing: a crashed TPU worker
+    # can leave instantly-"ready" error arrays that would otherwise
+    # produce a silent garbage rate (seen once in round 4: a dead
+    # worker yielded total_s=0.0005)
+    probe = np.asarray(outs.pose_integrated)
+    if not np.isfinite(probe).all():
+        raise RuntimeError("warmup produced non-finite poses")
+
     t0 = time.perf_counter()
     feats_all = front(raw, msk)
     outs, _ = core(feats_all)
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
+    if dt < 1e-3 * B:
+        raise RuntimeError(
+            f"implausible timing ({dt:.4f}s for {B * F} frames) — "
+            "device likely unhealthy"
+        )
 
     n_chips = max(
         1, len([d for d in jax.devices() if d.platform != "cpu"]) or 1
