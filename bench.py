@@ -1,21 +1,29 @@
 """Benchmark: scan-matches/sec/chip on the full pipeline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 A "scan match" = one frame through the WHOLE per-sweep pipeline —
 frontend (ingest + feature extraction) + scan-to-scan odometry GN + the
 skip-frame-cadenced scan-to-map GN + integration — the work the reference
-performs at 10 Hz on ~2 CPU cores (BASELINE.md).  Unlike round 1, the
-frontend IS inside the timed loop, matching the reference's envelope
-(scanRegistration is one of its four processes).
+performs at 10 Hz on ~2 CPU cores (BASELINE.md).
+
+The headline run is at the reference's TRUE per-sweep load — full VLP-16
+density (ring_width=2048, 1800 azimuth steps, ~28k raw points;
+/root/reference/src/scanRegistration.cpp:63-66 caps the cloud at 40000)
+with reference-default behavior knobs (odom_y_scale=1.05,
+odom_weight_start_iter=5).  ``--half`` reproduces the round-2..4
+half-density bench config (ring_width=1024, 900 steps, y_scale=1.0,
+weight_start=0) for continuity with earlier driver artifacts.
 
 Scenario-batched (DP) replay fills the chip: B independent synthetic
 sequences advance in lockstep through one jitted vmapped pipeline step
 (host frame loop — compile once, reuse every frame; the persistent
 compilation cache makes reruns start fast).
 
-    python bench.py            # headline config, one JSON line
-    python bench.py --table    # B sweep + per-stage table -> BENCH.md
+    python bench.py            # headline (full-density), one JSON line
+    python bench.py --half     # legacy half-density config
+    python bench.py --table    # B x density sweep + stage table -> BENCH.md
+    python bench.py --ab       # bench-knob A/B (weight schedule, y-scale)
 """
 
 from __future__ import annotations
@@ -41,14 +49,15 @@ def _enable_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _cfg():
+def _cfg(half: bool = False, y_scale: float | None = None,
+         weight_start: int | None = None):
+    """Bench config.  Default = FULL VLP-16 density with
+    reference-default behavior knobs; half=True = the round-2..4 bench
+    config (~half the sensor's per-sweep load, convergence weighting
+    from iteration 0)."""
     from loam_tpu.config import LoamConfig
 
-    return dataclasses.replace(
-        LoamConfig(),
-        ring_width=1024,
-        odom_y_scale=1.0,
-        odom_weight_start_iter=0,
+    over = dict(
         corner_table_size=1 << 14,
         surf_table_size=1 << 15,
         search_buckets=1 << 12,
@@ -56,13 +65,26 @@ def _cfg():
         max_surf_from_map=16384,
         # production mapping-kNN path: exact per-iteration 5-NN via the
         # fused Pallas knn_topk kernel (the reference's kd semantics,
-        # src/laserMapping.cpp:717,824).  Measured on the real chip the
-        # exact kernel rides the MXU at ~40 ms/iter (B=8) while the
-        # cached 27-cell candidate gather (map_exact_knn=False) costs
-        # ~580 ms/solve in random-access HBM gathers — cached mode stays
-        # a config option for CPU/huge-map runs, not the TPU default.
+        # src/laserMapping.cpp:717,824).  The cached 27-cell candidate
+        # gather (map_exact_knn=False) stays a config option for
+        # CPU/huge-map runs, not the TPU default.
         map_exact_knn=True,
     )
+    if half:
+        over.update(
+            ring_width=1024, odom_y_scale=1.0, odom_weight_start_iter=0
+        )
+    if y_scale is not None:
+        over["odom_y_scale"] = y_scale
+    if weight_start is not None:
+        over["odom_weight_start_iter"] = weight_start
+    return dataclasses.replace(LoamConfig(), **over)
+
+
+def _n_azimuth(cfg) -> int:
+    """Synthetic sweep azimuth steps: the VLP-16 emits ~1800 per ring at
+    10 Hz; the half-density legacy config uses 900."""
+    return 900 if cfg.ring_width <= 1024 else 1800
 
 
 def _data(cfg, B, F):
@@ -73,6 +95,7 @@ def _data(cfg, B, F):
     from loam_tpu.io import synth
 
     uniq = min(B, 8)
+    na = _n_azimuth(cfg)
     rng = np.random.default_rng(0)
     raws, msks = [], []
     for b in range(uniq):
@@ -85,7 +108,7 @@ def _data(cfg, B, F):
         xs, ms = [], []
         for k in range(F):
             xyz, m = synth.simulate_sweep(
-                world, poses[k], poses[k + 1], n_azimuth=900, seed=b * F + k
+                world, poses[k], poses[k + 1], n_azimuth=na, seed=b * F + k
             )
             xs.append(xyz)
             ms.append(m)
@@ -100,7 +123,7 @@ def _data(cfg, B, F):
     return raw, msk
 
 
-def run_once(B: int, F: int, per_stage: bool = False):
+def run_once(B: int, F: int, cfg=None, per_stage: bool = False):
     """Returns dict with rates (and per-stage ms when requested)."""
     import jax
 
@@ -108,9 +131,10 @@ def run_once(B: int, F: int, per_stage: bool = False):
     import jax.numpy as jnp
 
     from loam_tpu import frontend, pipeline
-    from loam_tpu.ops.features import extract_features
+    from loam_tpu.ops.features import extract_features, selection_report
 
-    cfg = _cfg()
+    if cfg is None:
+        cfg = _cfg()
     period = cfg.skip_frame_num + 1
     assert (F - 1) % period == 0, f"F={F} must be 1 + n*{period}"
     raw_np, msk_np = _data(cfg, B, F)
@@ -141,6 +165,7 @@ def run_once(B: int, F: int, per_stage: bool = False):
         return fr, co
 
     front, core = build(cfg)
+    fallback_used = False
 
     # warm all jits.  The kernel dispatch in extract_features already
     # probes Mosaic lowering and self-degrades to the XLA path, but keep
@@ -153,6 +178,7 @@ def run_once(B: int, F: int, per_stage: bool = False):
     except Exception as e:
         print(f"# kernel path failed ({type(e).__name__}); "
               "falling back to the XLA selection path", file=sys.stderr)
+        fallback_used = True
         cfg = dataclasses.replace(cfg, select_walk_kernel=False)
         front, core = build(cfg)
         fall = front(raw, msk)
@@ -186,6 +212,17 @@ def run_once(B: int, F: int, per_stage: bool = False):
         "F": F,
         "total_s": dt,
         "scan_matches_per_s_per_chip": B * F / dt / n_chips,
+        # the config every number was measured at — no off-contract
+        # figures without saying so (VERDICT r4)
+        "ring_width": cfg.ring_width,
+        "n_azimuth": _n_azimuth(cfg),
+        "odom_y_scale": cfg.odom_y_scale,
+        "odom_weight_start_iter": cfg.odom_weight_start_iter,
+        # which selection formulation actually ran + the Mosaic compile
+        # probe outcome, so a kernel regression shows up in the driver
+        # artifact instead of silently degrading (VERDICT r4 weak #5)
+        "fallback_used": fallback_used,
+        **selection_report(cfg),
     }
 
     if per_stage:
@@ -221,44 +258,85 @@ def run_once(B: int, F: int, per_stage: bool = False):
     return res
 
 
-def main():
-    args = sys.argv[1:]
-    if "--table" in args:
-        lines = [
-            "# BENCH — single-chip throughput (real TPU)",
-            "",
-            "Metric: scan-matches/sec/chip over the WHOLE per-sweep "
-            "pipeline (frontend + odometry + cadenced mapping + "
-            "integration), scenario-batched.  Reference envelope: 10 "
-            "scans/s on ~2 CPU cores (BASELINE.md).",
-            "",
-            "| B | frontend ms/step | map-frame ms | odom-frame ms | "
-            "scan-matches/s/chip | vs 10 Hz envelope |",
-            "|---|---|---|---|---|---|",
-        ]
-        for B in (8, 32, 128):
-            r = run_once(B, F=17, per_stage=True)
+def _table():
+    lines = [
+        "# BENCH — single-chip throughput (real TPU)",
+        "",
+        "Metric: scan-matches/sec/chip over the WHOLE per-sweep "
+        "pipeline (frontend + odometry + cadenced mapping + "
+        "integration), scenario-batched.  Reference envelope: 10 "
+        "scans/s on ~2 CPU cores (BASELINE.md).",
+        "",
+        "Full density = the reference's true per-sweep load "
+        "(ring_width=2048, 1800 azimuth steps, ~28k raw pts, "
+        "reference-default odom_y_scale=1.05 / weight_start_iter=5).  "
+        "Half = the legacy round-2..4 bench config (1024/900, "
+        "y_scale=1.0, weight_start=0).",
+        "",
+        "| density | B | frontend ms/step | map-frame ms | "
+        "odom-frame ms | scan-matches/s/chip | vs 10 Hz envelope |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for label, half, Bs in (
+        ("full", False, (8, 32, 128)),
+        ("half", True, (8, 32, 128)),
+    ):
+        for B in Bs:
+            r = run_once(B, F=17, cfg=_cfg(half=half), per_stage=True)
             lines.append(
-                f"| {B} | {r['frontend_ms']:.1f} | {r['step_map_ms']:.1f} | "
-                f"{r['step_nomap_ms']:.1f} | "
+                f"| {label} | {B} | {r['frontend_ms']:.1f} | "
+                f"{r['step_map_ms']:.1f} | {r['step_nomap_ms']:.1f} | "
                 f"{r['scan_matches_per_s_per_chip']:.1f} | "
                 f"{r['scan_matches_per_s_per_chip'] / 10.0:.1f}x |"
             )
-            print(json.dumps(r), flush=True)
-        with open(os.path.join(os.path.dirname(__file__), "BENCH.md"),
-                  "w") as f:
-            f.write("\n".join(lines) + "\n")
+            print(json.dumps({"density": label, **r}), flush=True)
+    with open(os.path.join(os.path.dirname(__file__), "BENCH.md"),
+              "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _ab():
+    """A/B the two legacy bench-config knobs on the bench workload —
+    quantifies the throughput effect of the round-2..4 off-default
+    settings (VERDICT r4 weak #1)."""
+    runs = [
+        ("reference defaults (ws=5, ys=1.05)", _cfg()),
+        ("weight_start=0", _cfg(weight_start=0)),
+        ("y_scale=1.0", _cfg(y_scale=1.0)),
+        ("both legacy knobs", _cfg(weight_start=0, y_scale=1.0)),
+    ]
+    for label, cfg in runs:
+        r = run_once(8, F=17, cfg=cfg)
+        print(json.dumps({"ab": label, **r}), flush=True)
+
+
+def main():
+    args = sys.argv[1:]
+    if "--table" in args:
+        _table()
+        return
+    if "--ab" in args:
+        _ab()
         return
 
-    B = int(args[0]) if args else 8
-    F = int(args[1]) if len(args) > 1 else 17
-    r = run_once(B, F)
+    half = "--half" in args
+    pos = [a for a in args if not a.startswith("--")]
+    B = int(pos[0]) if pos else 8
+    F = int(pos[1]) if len(pos) > 1 else 17
+    r = run_once(B, F, cfg=_cfg(half=half))
     value = r["scan_matches_per_s_per_chip"]
     print(json.dumps({
         "metric": "scan-matches/sec/chip",
         "value": round(value, 2),
         "unit": "frames/s",
         "vs_baseline": round(value / 10.0, 2),
+        "ring_width": r["ring_width"],
+        "n_azimuth": r["n_azimuth"],
+        "odom_y_scale": r["odom_y_scale"],
+        "odom_weight_start_iter": r["odom_weight_start_iter"],
+        "selection_path": r["selection_path"],
+        "walk_kernel_ok": r["walk_kernel_ok"],
+        "fallback_used": r["fallback_used"],
     }))
 
 

@@ -439,15 +439,20 @@ def select_rings_argmax(curv, gap_sq, pre_picked, n, cfg: LoamConfig):
 
 
 @functools.lru_cache(maxsize=None)
-def _walk_kernel_ok(n_sub, subw, W, max_sharp, max_less_sharp,
-                    max_flat) -> bool:
+def _walk_kernel_probe(n_sub, subw, W, max_sharp, max_less_sharp,
+                       max_flat):
     """One-time (per shape set, per process) TPU compile probe of the
     selection-walk kernel, INCLUDING a double-vmap level — the exact
     transform bench.py applies (vmap over scenarios AND frames).  If
     Mosaic rejects the lowering for any reason, extract_features
     degrades to the XLA select_ring path instead of crashing the caller
     (round-3 postmortem: a kernel that compiled single-vmap failed at
-    the production double-vmap shape and killed the benchmark)."""
+    the production double-vmap shape and killed the benchmark).
+
+    Returns (ok, error_string) — the error is recorded, not swallowed,
+    so a Mosaic regression is visible in bench output
+    (bench.py selection_path field) instead of manifesting only as an
+    unexplained perf delta."""
     from .pallas import select_walk as SW
 
     try:
@@ -462,9 +467,44 @@ def _walk_kernel_ok(n_sub, subw, W, max_sharp, max_less_sharp,
         cm = jax.ShapeDtypeStruct((2, 2, 16, K), jnp.int32)
         p0 = jax.ShapeDtypeStruct((2, 2, 16, W // 32), jnp.uint32)
         jax.jit(jax.vmap(jax.vmap(one))).lower(cm, cm, p0).compile()
-        return True
-    except Exception:
-        return False
+        return True, ""
+    except Exception as e:  # record the failure for selection_report
+        return False, f"{type(e).__name__}: {e}"
+
+
+def _walk_kernel_ok(n_sub, subw, W, max_sharp, max_less_sharp,
+                    max_flat) -> bool:
+    return _walk_kernel_probe(
+        n_sub, subw, W, max_sharp, max_less_sharp, max_flat
+    )[0]
+
+
+def selection_report(cfg: LoamConfig) -> dict:
+    """Which greedy-selection formulation extract_features will run for
+    this config on the current backend, plus the kernel-probe outcome.
+    Mirrors the dispatch in extract_features exactly; consumed by
+    bench.py so driver artifacts record the actual path taken."""
+    rep = {"walk_kernel_ok": None, "walk_kernel_error": ""}
+    if cfg.select_argmax:
+        rep["selection_path"] = "argmax"
+        return rep
+    if cfg.select_walk_kernel and jax.default_backend() == "tpu":
+        ok, err = _walk_kernel_probe(
+            cfg.n_subregions,
+            cfg.ring_width // cfg.n_subregions + 8,
+            cfg.ring_width,
+            cfg.max_sharp_per_subregion,
+            cfg.max_less_sharp_per_subregion,
+            cfg.max_flat_per_subregion,
+        )
+        rep["walk_kernel_ok"] = ok
+        rep["walk_kernel_error"] = err
+        rep["selection_path"] = (
+            "pallas_walk_kernel" if ok else "xla_walk"
+        )
+        return rep
+    rep["selection_path"] = "xla_walk"
+    return rep
 
 
 def select_rings_walk(curv, gap_sq, pre_picked, n, cfg: LoamConfig,
@@ -619,6 +659,13 @@ def extract_features(sweep: Sweep, cfg: LoamConfig = LoamConfig()) -> FeatureClo
     gap_sq = jax.vmap(ring_gaps)(sweep.xyz)
 
     if cfg.select_argmax:
+        # the argmax formulation iterates over PICKS, not candidates, so
+        # the walk-truncation knobs have no analogue — refuse the silent
+        # semantics change instead of ignoring them
+        assert cfg.corner_scan_k == 0 and cfg.flat_scan_k == 0, (
+            "select_argmax=True is incompatible with "
+            "corner_scan_k/flat_scan_k truncation (walk-only knobs)"
+        )
         labels, _ = select_rings_argmax(
             curv, gap_sq, pre_picked, counts, cfg
         )

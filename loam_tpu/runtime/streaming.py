@@ -133,6 +133,10 @@ class StreamingEngine:
         self._pose_lock = threading.Lock()
         self._latest_integrated = np.zeros(6, np.float32)
         self._latest_aft = np.zeros(6, np.float32)
+        self._latest_odom = np.zeros(6, np.float32)
+        # latest /velodyne_cloud_registered (PointCloud) when
+        # cfg.emit_registered is set
+        self._latest_registered = None
         self._trajectory: list[np.ndarray] = []
         self._threads: list[threading.Thread] = []
         self._stop = threading.Event()
@@ -163,11 +167,21 @@ class StreamingEngine:
         self._odom = jax.jit(
             lambda s, f, it: odometry.odometry_step(s, f, it, c)
         )
-        self._map = jax.jit(
-            lambda s, p, cl, su, mr: mapping.mapping_step(
-                s, p, cl, su, mr, c
+        if c.emit_registered:
+            # thread the full-res /velodyne_cloud_3 through mapping so
+            # MapOutput.registered (/velodyne_cloud_registered,
+            # src/laserMapping.cpp:1060-1069) is produced live
+            self._map = jax.jit(
+                lambda s, p, cl, su, mr, fu: mapping.mapping_step(
+                    s, p, cl, su, mr, c, full=fu
+                )
             )
-        )
+        else:
+            self._map = jax.jit(
+                lambda s, p, cl, su, mr: mapping.mapping_step(
+                    s, p, cl, su, mr, c
+                )
+            )
         self._odom_state = odometry.OdomState.create(cfg)
         self._map_state = mapping.MapState.create(cfg)
         # transformMaintenance pose pair (src/transformMaintenance.cpp:52-58)
@@ -251,11 +265,13 @@ class StreamingEngine:
         ))
         with self._pose_lock:
             self._latest_integrated = integrated
+            self._latest_odom = pose
             self._trajectory.append(integrated)
         self.stats_.integrated += 1
         if bool(np.asarray(out.publish_to_mapping)):
+            full = out.full if self.cfg.emit_registered else None
             self.q_map.push(
-                (pose, out.corner_last, out.surf_last, map_rpy)
+                (pose, out.corner_last, out.surf_last, map_rpy, full)
             )
 
     def _mapping_loop(self):
@@ -265,16 +281,25 @@ class StreamingEngine:
                 continue
             self._busy[2] = True
             try:
-                pose, corner_last, surf_last, map_rpy = item
-                self._map_state, mout = self._map(
-                    self._map_state, jax.numpy.asarray(pose), corner_last,
-                    surf_last, map_rpy,
-                )
+                pose, corner_last, surf_last, map_rpy, full = item
+                if full is not None:
+                    new_map_state, mout = self._map(
+                        self._map_state, jax.numpy.asarray(pose),
+                        corner_last, surf_last, map_rpy, full,
+                    )
+                else:
+                    new_map_state, mout = self._map(
+                        self._map_state, jax.numpy.asarray(pose),
+                        corner_last, surf_last, map_rpy,
+                    )
                 self.stats_.map_frames += 1
                 with self._pose_lock:
+                    self._map_state = new_map_state
                     self._bef = np.asarray(mout.pose_bef)
                     self._aft = np.asarray(mout.pose_aft)
                     self._latest_aft = self._aft
+                    if mout.registered is not None:
+                        self._latest_registered = mout.registered
             finally:
                 self._busy[2] = False
 
@@ -319,6 +344,34 @@ class StreamingEngine:
     def latest_pose(self) -> np.ndarray:
         with self._pose_lock:
             return self._latest_integrated.copy()
+
+    def latest_aft(self) -> np.ndarray:
+        """Latest aft-mapped pose (/aft_mapped_to_init), locked."""
+        with self._pose_lock:
+            return self._latest_aft.copy()
+
+    def latest_odom(self) -> np.ndarray:
+        """Latest raw odometry pose (/laser_odom_to_init), locked."""
+        with self._pose_lock:
+            return self._latest_odom.copy()
+
+    def latest_registered(self):
+        """Latest registered full-res cloud
+        (/velodyne_cloud_registered), or None when cfg.emit_registered
+        is off or no mapping frame has completed yet.  Locked snapshot;
+        the PointCloud is an immutable pytree."""
+        with self._pose_lock:
+            return self._latest_registered
+
+    def map_state_snapshot(self):
+        """Consistent (map_state, aft_pose) snapshot for observers.
+
+        The mapping loop publishes both under the pose lock, so a reader
+        taking the lock never sees a map from frame k paired with the
+        pose of frame k+1.  The returned MapState is an immutable pytree
+        of device arrays — safe to read from any thread."""
+        with self._pose_lock:
+            return self._map_state, self._latest_aft.copy()
 
     def trajectory(self) -> np.ndarray:
         with self._pose_lock:

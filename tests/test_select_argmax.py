@@ -1,11 +1,12 @@
 """Parity of the fixed-trip-count argmax selection
 (features.select_rings_argmax) against the candidate-walk select_ring
 (which is itself pinned to the sequential reference oracle by
-tests/test_features.py).  The argmax path is the production default
-(config.select_argmax): its cost is batch-independent, so it must label
-IDENTICALLY on every structure the walk can hit — ties, suppression
-chains across subregion boundaries, degenerate rings, pre-picked
-marks."""
+tests/test_features.py).  The argmax path is an alternative formulation
+(config.select_argmax, off by default — the measured default is the XLA
+while_loop walk, see config.py): its cost is batch-independent, so it
+must label IDENTICALLY on every structure the walk can hit — ties,
+suppression chains across subregion boundaries, degenerate rings,
+pre-picked marks."""
 
 import dataclasses
 

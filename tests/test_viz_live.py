@@ -28,6 +28,9 @@ CFG = dataclasses.replace(
     max_surf_stack=1024,
     odom_max_iters=5,
     map_max_iters=3,
+    # live /velodyne_cloud_registered (rviz display parity,
+    # rviz_cfg/loam_velodyne.rviz:157)
+    emit_registered=True,
 )
 
 
@@ -73,6 +76,14 @@ def test_live_server_serves_state_and_page():
         # the surround cloud (the /laser_cloud_surround analogue) holds
         # live map centroids once mapping has run
         assert len(s1["surround"]) > 100
+        # all four rviz displays (rviz_cfg/loam_velodyne.rviz:91,118,
+        # 130,157): trail + odometry pose + surround + registered cloud
+        assert len(s1["odom"]) == 6
+        assert np.isfinite(np.asarray(s1["odom"])).all()
+        assert len(s1["registered"]) > 100, (
+            "registered full-res cloud missing from /state.json"
+        )
+        assert np.isfinite(np.asarray(s1["registered"])).all()
         assert s1["seq"] > s0["seq"]
 
         # 404 on unknown paths
