@@ -65,6 +65,17 @@ def build_parser() -> argparse.ArgumentParser:
              "pose trail + ~1 Hz map surround over HTTP polling) on "
              "this port (0 = auto-pick); -1 disables",
     )
+    p.add_argument(
+        "--golden-compare", action="store_true",
+        help="offline mode: additionally replay the SAME sweeps through "
+             "the straight-line NumPy reference oracle (tests/golden — "
+             "the transcription of all four reference nodes) and report "
+             "the trajectory ATE against it: the BASELINE.md north-star "
+             "gate (<= 5 cm, the reference README.md:22-35 bag-replay "
+             "workflow) as ONE command.  Writes golden_*.tum next to "
+             "the pipeline outputs; requires a repo checkout "
+             "(tests/golden importable)",
+    )
     return p
 
 
@@ -252,7 +263,88 @@ def main(argv=None) -> int:
           f".tum ({F} poses) + map_surround.ply "
           f"({int(map_live.sum())} pts)", flush=True)
     del mapping
+
+    if args.golden_compare:
+        return _golden_compare(args, cfg, raw, mask, stamps, imu, outs)
     return 0
+
+
+def _golden_compare(args, cfg, raw, mask, stamps, imu, outs) -> int:
+    """Replay the same sweeps through the NumPy reference oracle and
+    report the ATE of every pipeline trajectory against it — the
+    BASELINE.md gate (<= 5 cm on the reference's bag-replay workflow,
+    reference README.md:22-35) as a one-command verdict.
+
+    The oracle is the test-only transcription under tests/golden (kept
+    out of the installed package on purpose), so this needs a repo
+    checkout."""
+    import json
+
+    import numpy as np
+
+    from . import metrics
+    from .io import export
+
+    tests_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+    )
+    if not os.path.exists(os.path.join(tests_dir, "golden", "pipeline.py")):
+        print("[loam_tpu] --golden-compare needs the repo checkout "
+              f"(tests/golden not found near {tests_dir})",
+              file=sys.stderr)
+        return 2
+    sys.path.insert(0, tests_dir)
+    from golden import pipeline as golden_pipeline
+
+    t0 = time.perf_counter()
+    if imu is not None:
+        # convert loader conventions ((roll, pitch, yaw), raw velodyne
+        # acceleration) to the oracle's internal form — the imuHandler
+        # math of imu.imu_from_raw (src/scanRegistration.cpp:638-652)
+        t, rpy, acc = imu
+        g = 9.81
+        roll, pitch, yaw = rpy[:, 0], rpy[:, 1], rpy[:, 2]
+        acc_int = np.stack([
+            acc[:, 1] - np.sin(roll) * np.cos(pitch) * g,
+            acc[:, 2] - np.cos(roll) * np.cos(pitch) * g,
+            acc[:, 0] + np.sin(pitch) * g,
+        ], -1).astype(np.float32)
+        pyr = np.stack([pitch, yaw, roll], -1).astype(np.float32)
+        base = stamps[0]
+        oracle = golden_pipeline.run_pipeline_imu(
+            raw, mask, (t - base).astype(np.float32), pyr, acc_int,
+            (stamps - base).astype(np.float32),
+        )
+    else:
+        oracle = golden_pipeline.run_pipeline(
+            raw, mask,
+            truncate_upward_scan=cfg.emulate_upward_scan_truncation,
+        )
+    dt = time.perf_counter() - t0
+    print(f"[loam_tpu] golden oracle replay: {raw.shape[0]} frames in "
+          f"{dt:.1f}s", flush=True)
+
+    for name, key in (("golden_odom", "odom"),
+                      ("golden_aft_mapped", "aft"),
+                      ("golden_integrated", "integrated")):
+        export.save_trajectory_tum(
+            os.path.join(args.out_dir, name + ".tum"), stamps,
+            oracle[key],
+        )
+
+    verdict = {}
+    for key, est in (("odom", outs.pose_odom),
+                     ("aft", outs.pose_aft),
+                     ("integrated", outs.pose_integrated)):
+        ate = float(metrics.ate_rmse(
+            np.asarray(est)[:, 3:6], oracle[key][:, 3:6]
+        ))
+        verdict[f"ate_{key}_cm"] = round(100.0 * ate, 3)
+    verdict["gate_cm"] = 5.0
+    verdict["pass"] = bool(verdict["ate_integrated_cm"] <= 5.0)
+    print(json.dumps({"golden_compare": verdict}), flush=True)
+    return 0 if verdict["pass"] else 1
 
 
 def _replay_streaming_clouds(args, cfg, raw, mask, streams, t_scans):

@@ -199,6 +199,15 @@ class LoamConfig:
     # selects the bounded-memory cell-bucket variant below (cached
     # candidates + drift-triggered re-gather).
     map_exact_knn: bool = True
+    # Spatial tile pruning for the exact-kNN kernel (TPU only): the
+    # local map is sorted along its dominant-extent axis
+    # (map_store.local_map_points), the query stacks are sorted the same
+    # way at the motion-prior pose, and each query block then skips
+    # reference tiles entirely outside its 1 m search window on that
+    # axis.  Exact within the reference's 5-NN distance gate
+    # (src/laserMapping.cpp:717-719,824-826): pruning can only hide
+    # neighbors the gate rejects anyway (ops/pallas/knn_topk.knn_points).
+    map_knn_prune: bool = True
     # cached NN candidates per query (map_exact_knn=False): the 27-cell
     # gather runs once per mapping frame; GN iterations re-rank this
     # top-K cache (a superset of the gated 5-NN for millimetric

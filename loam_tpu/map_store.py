@@ -283,11 +283,18 @@ class LocalMap:
     fixed-capacity array — laserCloudCornerFromMap/SurfFromMap
     (src/laserMapping.cpp:674-681) as one dense block, consumed by the
     fused Pallas distance/top-k kernel (ops/pallas/knn_topk.py) instead
-    of a per-frame kd-tree."""
+    of a per-frame kd-tree.
 
-    xyz: jax.Array      # (cap, 3)
-    mask: jax.Array     # (cap,)
-    n_local: jax.Array  # () int32 — FULL keep count (may exceed cap)
+    Entries are SORTED along the dominant-extent axis (sort_axis): tile
+    t of the kNN kernel then covers a contiguous coordinate interval,
+    so query blocks can skip tiles entirely outside their 1 m search
+    window (knn_topk.knn_points prune path) — the spatial pruning that
+    replaces the kd-tree's O(log n) descent."""
+
+    xyz: jax.Array       # (cap, 3)
+    mask: jax.Array      # (cap,)
+    n_local: jax.Array   # () int32 — FULL keep count (may exceed cap)
+    sort_axis: jax.Array  # () int32 — axis the entries are sorted along
 
     def overflow(self) -> jax.Array:
         """Centroids dropped by capacity truncation (n_local beyond cap).
@@ -302,7 +309,15 @@ class LocalMap:
 
 def local_map_points(table: VoxelTable, center_cube, fov, cap: int,
                      cfg: LoamConfig) -> LocalMap:
-    """Compact the local-region (5x5x5 cubes, FOV-culled) centroids.
+    """Compact the local-region (5x5x5 cubes, FOV-culled) centroids,
+    SORTED along the dominant-extent axis.
+
+    One lax.sort does compaction AND spatial ordering at once: the key
+    is the kept entry's coordinate on the widest-spread axis (+BIG for
+    dropped entries, pushing them past the tail) — same cost as the
+    plain ~keep compaction sort it replaces (ops/compact.py rationale),
+    but the resulting block is a sorted run the kNN kernel can window
+    (see LocalMap docstring).
 
     n_local reports the full keep count; entries beyond `cap` are
     truncated from xyz/mask (detectable via LocalMap.overflow())."""
@@ -314,19 +329,32 @@ def local_map_points(table: VoxelTable, center_cube, fov, cap: int,
     offc = jnp.clip(off + r, 0, 2 * r)
     fov_ok = fov[offc[:, 0], offc[:, 1], offc[:, 2]]
     keep = in_region & fov_ok
-    # sort-compaction (ops/compact.py): one stable lax.sort keyed on
-    # ~keep with the centroid columns as payload — runs over the whole
-    # table twice per mapping frame, where both the scatter and the
-    # binary-search forms measured slower in the fused program
-    from .ops.compact import compact_masked
 
-    (x, y, z), ok = compact_masked(
-        keep, (cent[:, 0], cent[:, 1], cent[:, 2]), cap
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(keep[:, None], cent, big), axis=0)
+    hi = jnp.max(jnp.where(keep[:, None], cent, -big), axis=0)
+    axis = jnp.argmax(hi - lo).astype(jnp.int32)
+    coord = jnp.take(cent, axis, axis=1)
+    key = jnp.where(keep, coord, big)
+    _, x, y, z = jax.lax.sort(
+        (key, cent[:, 0], cent[:, 1], cent[:, 2]),
+        num_keys=1, is_stable=True,
     )
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    ok = jnp.arange(cap) < n_keep
+    T = cent.shape[0]
+    if cap <= T:
+        x, y, z = x[:cap], y[:cap], z[:cap]
+    else:
+        pad = jnp.zeros((cap - T,), x.dtype)
+        x = jnp.concatenate([x, pad])
+        y = jnp.concatenate([y, pad])
+        z = jnp.concatenate([z, pad])
     return LocalMap(
         xyz=jnp.where(ok[:, None], jnp.stack([x, y, z], -1), 0.0),
         mask=ok,
-        n_local=jnp.sum(keep.astype(jnp.int32)),
+        n_local=n_keep,
+        sort_axis=axis,
     )
 
 

@@ -123,19 +123,34 @@ def _exact_nn_fns(corner_local, surf_local, cfg: LoamConfig,
     reference's kd re-query semantics (src/laserMapping.cpp:717,824) via
     the fused Pallas distance/top-k kernel.  n_q_*: live counts of the
     (front-compacted) query stacks — lets the kernel skip dead query
-    blocks on top of dead reference tiles."""
+    blocks on top of dead reference tiles.
+
+    cfg.map_knn_prune additionally windows each query block to the
+    reference tiles within the 1 m^2 gate radius on the local map's
+    sort axis — exact within the gate, since hidden neighbors are
+    exactly those the gate rejects."""
     from .ops.pallas.knn_topk import knn_points
+
+    window = (
+        float(cfg.map_nn_gate_sq) ** 0.5 if cfg.map_knn_prune else None
+    )
 
     def nn_c(q):
         return knn_points(
             q, None, corner_local.xyz, corner_local.mask, cfg.map_knn,
             n_q=n_q_corner,
+            prune_axis=corner_local.sort_axis if cfg.map_knn_prune
+            else None,
+            prune_window=window,
         )
 
     def nn_s(q):
         return knn_points(
             q, None, surf_local.xyz, surf_local.mask, cfg.map_knn,
             n_q=n_q_surf,
+            prune_axis=surf_local.sort_axis if cfg.map_knn_prune
+            else None,
+            prune_window=window,
         )
 
     return nn_c, nn_s
@@ -205,6 +220,26 @@ def _map_iteration(c, nn_c, nn_s, corner_stack: PointCloud,
     )
 
 
+def _sort_stack_axis(stack: PointCloud, pose, axis) -> PointCloud:
+    """Sort a front-compacted stack by its world coordinate (at `pose`)
+    on `axis` — makes each tq-block of queries a thin slab on the local
+    map's sort axis, so the pruned kNN kernel's per-block reference-tile
+    windows are narrow.  Pure reordering: GN normal equations sum over
+    rows, so the solve is order-invariant (up to float associativity),
+    and front-compaction is preserved (invalid rows key to +BIG)."""
+    world = rotations.apply_pose(pose, stack.xyz)
+    coord = jnp.take(world, axis, axis=1)
+    key = jnp.where(stack.mask, coord, jnp.float32(3.0e38))
+    _, x, y, z, rel, m = jax.lax.sort(
+        (key, stack.xyz[:, 0], stack.xyz[:, 1], stack.xyz[:, 2],
+         stack.rel, stack.mask.astype(jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    return PointCloud(
+        xyz=jnp.stack([x, y, z], -1), rel=rel, mask=m.astype(bool)
+    )
+
+
 def gauss_newton_mapping(tobe0, corner_index, surf_index,
                          corner_stack: PointCloud, surf_stack: PointCloud,
                          cfg: LoamConfig):
@@ -232,6 +267,16 @@ def gauss_newton_mapping(tobe0, corner_index, surf_index,
     )
 
     if cfg.map_exact_knn:
+        if cfg.map_knn_prune:
+            # query blocks become thin slabs on the map's sort axis at
+            # the motion-prior pose (per-iteration updates are
+            # millimetric, so slabs stay thin through the solve)
+            corner_stack = _sort_stack_axis(
+                corner_stack, tobe0, corner_index.sort_axis
+            )
+            surf_stack = _sort_stack_axis(
+                surf_stack, tobe0, surf_index.sort_axis
+            )
         nn_c0, nn_s0 = _exact_nn_fns(
             corner_index, surf_index, cfg,
             n_q_corner=jnp.sum(corner_stack.mask.astype(jnp.int32)),

@@ -134,18 +134,30 @@ def _knn_kernel_dyn(ns_ref, q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out,
                     *, k, tq, tm):
     """Whole-problem variant: grid=(1,), everything VMEM-resident, BOTH
     loops dynamic — outer over ceil(n_q/tq) live query blocks, inner
-    over ceil(n_ref/tm) live reference tiles.  Queries and references
+    over a PER-BLOCK WINDOW of reference tiles.  Queries and references
     are front-compacted (voxel_downsample / local_map_points), so cost
     scales with live*live instead of capacity*capacity; at typical
     mapping load (~30-50% live on each axis) that is a 4-10x work cut
     the static grid cannot express.
 
-    ns_ref (scalar prefetch): [n_q_live, n_ref_live].  Output rows for
-    blocks past the live query count keep the BIG pre-fill, which the
-    caller's d2 gate treats as invalid."""
+    ns_ref (scalar prefetch):
+    [n_q_live, n_ref_live, t_lo[0..NQB-1], t_hi[0..NQB-1]] with
+    NQB = Q // tq.  Query block b only visits reference tiles in
+    [t_lo[b], min(t_hi[b], live tiles)) — the caller computes these
+    windows from per-tile coordinate intervals when the reference is
+    spatially sorted (map_store.local_map_points), or passes
+    [0, n_tiles] for the exhaustive scan.  Skipped tiles can only hide
+    neighbors farther than the caller's search window, whose output
+    rows stay BIG and fail the caller's distance gate — exact within
+    the gate (the contract the reference's own 1 m^2 5-NN gate defines,
+    src/laserMapping.cpp:717-719,824-826).
+
+    Output rows for blocks past the live query count keep the BIG
+    pre-fill, which the caller's d2 gate treats as invalid."""
     Q = q3_ref.shape[1]
     M = r3_ref.shape[1]
-    nq_tiles = jnp.clip((ns_ref[0] + tq - 1) // tq, 1, Q // tq)
+    NQB = Q // tq
+    nq_tiles = jnp.clip((ns_ref[0] + tq - 1) // tq, 1, NQB)
     nm_tiles = jnp.clip((ns_ref[1] + tm - 1) // tm, 1, M // tm)
 
     col_bits = max((tm - 1).bit_length(), 1)
@@ -186,8 +198,10 @@ def _knn_kernel_dyn(ns_ref, q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out,
                 key = jnp.where(key == m[:, None], _INT_BIG, key)
             return state_k, state_i
 
+        t_lo = jnp.maximum(ns_ref[2 + b], 0)
+        t_hi = jnp.minimum(ns_ref[2 + NQB + b], nm_tiles)
         state_k, state_i = jax.lax.fori_loop(
-            0, nm_tiles, body, (state_k, state_i)
+            t_lo, t_hi, body, (state_k, state_i)
         )
         d_out[pl.ds(qbase, tq), :] = jax.lax.bitcast_convert_type(
             state_k & high_mask, jnp.float32
@@ -200,13 +214,19 @@ def _knn_kernel_dyn(ns_ref, q3_ref, q2_ref, r3_ref, r2_ref, d_out, i_out,
 
 @functools.partial(jax.jit, static_argnames=("k", "tq", "tm", "interpret"))
 def knn_topk_dyn(q_xyz, ref_xyz, ref_mask, n_q, n_ref, k: int = 5,
-                 tq: int = 256, tm: int = 2048, interpret: bool = False):
+                 tq: int = 256, tm: int = 2048, interpret: bool = False,
+                 t_lo=None, t_hi=None):
     """knn_topk with BOTH the query and reference axes live-count
     bounded (front-compacted inputs).  Returns (idx (Q, k), d2 (Q, k));
-    rows past n_q are BIG/0 fill the caller's gate rejects."""
+    rows past n_q are BIG/0 fill the caller's gate rejects.
+
+    t_lo/t_hi: optional (Q//tq,) int32 per-query-block reference-tile
+    windows (see _knn_kernel_dyn) — defaults to the exhaustive
+    [0, M//tm) scan."""
     Q = q_xyz.shape[0]
     M = ref_xyz.shape[0]
     assert Q % tq == 0 and M % tm == 0, (Q, tq, M, tm)
+    NQB = Q // tq
 
     q3 = q_xyz.T.astype(jnp.float32)
     r3 = ref_xyz.T.astype(jnp.float32)
@@ -214,9 +234,17 @@ def knn_topk_dyn(q_xyz, ref_xyz, ref_mask, n_q, n_ref, k: int = 5,
     r2 = jnp.sum(ref_xyz * ref_xyz, axis=1)
     r2 = jnp.where(ref_mask, r2, BIG)[None, :]
 
-    ns = jnp.stack(
-        [jnp.asarray(n_q, jnp.int32), jnp.asarray(n_ref, jnp.int32)]
-    )
+    if t_lo is None:
+        t_lo = jnp.zeros((NQB,), jnp.int32)
+    if t_hi is None:
+        t_hi = jnp.full((NQB,), M // tm, jnp.int32)
+    ns = jnp.concatenate([
+        jnp.stack(
+            [jnp.asarray(n_q, jnp.int32), jnp.asarray(n_ref, jnp.int32)]
+        ),
+        t_lo.astype(jnp.int32),
+        t_hi.astype(jnp.int32),
+    ])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -358,14 +386,57 @@ def _tile(n, prefs):
     return n
 
 
-def knn_points(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5, n_q=None):
+def tile_windows(qa, n_q, ra, ref_mask, tq: int, tm: int, margin: float):
+    """Per-query-block reference-tile windows for the pruned kNN kernel.
+
+    qa (Q,) / ra (M,): coordinates on the pruning axis; the REFERENCE
+    must be sorted ascending on that axis over its live (front-compacted)
+    prefix (map_store.local_map_points), so each tile covers a
+    contiguous coordinate interval and the tiles intersecting
+    [block_min - margin, block_max + margin] form one contiguous run.
+    Queries need NOT be sorted for correctness — only for the windows to
+    be narrow.  Returns (t_lo, t_hi) int32 (Q//tq,).
+    """
+    big = jnp.float32(3.0e38)
+    Q = qa.shape[0]
+    M = ra.shape[0]
+    live_q = jnp.arange(Q) < n_q
+    qb = jnp.where(live_q, qa, big).reshape(Q // tq, tq)
+    qlo = jnp.min(qb, axis=1) - margin
+    qhi = jnp.max(jnp.where(qb >= big, -big, qb), axis=1) + margin
+
+    rt = jnp.where(ref_mask, ra, big).reshape(M // tm, tm)
+    tmin = jnp.min(rt, axis=1)
+    tmax = jnp.max(jnp.where(rt >= big, -big, rt), axis=1)
+    # fully-dead tiles sit at the tail; give them (+inf, +inf) bounds so
+    # they never count into t_lo yet always fall past t_hi
+    tmax = jnp.where(tmax <= -big, big, tmax)
+
+    t_lo = jnp.sum((tmax[None, :] < qlo[:, None]).astype(jnp.int32), 1)
+    t_hi = M // tm - jnp.sum(
+        (tmin[None, :] > qhi[:, None]).astype(jnp.int32), 1
+    )
+    return t_lo, t_hi
+
+
+def knn_points(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5, n_q=None,
+               prune_axis=None, prune_window: float | None = None):
     """Dispatch: Pallas on TPU, jnp elsewhere.  Returns (pts (Q, k, 3),
     d2 (Q, k)) nearest-first — the shape the mapping residuals consume.
     ref must be front-compacted (true for feature clouds and LocalMap).
 
     n_q: optional live query count when queries are ALSO front-compacted
     (voxel_downsample stacks) — switches to the whole-problem kernel
-    with a dynamic query-block loop, so cost scales live*live."""
+    with a dynamic query-block loop, so cost scales live*live.
+
+    prune_axis/prune_window: spatial tile pruning (TPU dyn path only).
+    prune_axis is the axis the reference is SORTED along
+    (LocalMap.sort_axis); prune_window the caller's neighbor-distance
+    gate in meters.  Query blocks then skip reference tiles entirely
+    outside [block_min - window, block_max + window] on that axis.
+    Neighbors farther than the window may be reported as BIG — callers
+    MUST gate on d2 < window^2 (the mapping 1 m^2 gate does,
+    src/laserMapping.cpp:717-719); results within the gate are exact."""
     # recenter on the reference cloud: the |q|^2 - 2q.r + |r|^2 form loses
     # ~eps*|q||r| to cancellation for neighbors much closer than the
     # origin distance (kilometres into a trajectory, this would dominate)
@@ -379,11 +450,31 @@ def knn_points(q_xyz, q_mask, ref_xyz, ref_mask, k: int = 5, n_q=None):
 
     if jax.default_backend() == "tpu":
         tq = _tile(q_xyz.shape[0], (256, 128, 64, 32, 16, 8))
-        tm = _tile(ref_xyz.shape[0], (2048, 1024, 512, 256, 128))
-        if n_q is not None:
+        prune = (
+            prune_axis is not None
+            and prune_window is not None
+            and n_q is not None
+        )
+        if prune:
+            # smaller reference tiles: the window's resolution is one
+            # tile, so pruning needs granularity more than the big-tile
+            # loop needs fewer iterations (measured: profile_knn.py)
+            tm = _tile(ref_xyz.shape[0], (512, 256, 128))
+            qa = jnp.take(qc, prune_axis, axis=1)
+            ra = jnp.take(rc, prune_axis, axis=1)
+            # +1 mm absolute slack: qa/ra carry ~eps*|coord| recentering
+            # rounding (<= ~1e-5 m at 100 m extents)
+            t_lo, t_hi = tile_windows(
+                qa, n_q, ra, ref_mask, tq, tm, float(prune_window) + 1e-3
+            )
+            idx, d2k = knn_topk_dyn(qc, rc, ref_mask, n_q, n_live, k,
+                                    tq=tq, tm=tm, t_lo=t_lo, t_hi=t_hi)
+        elif n_q is not None:
+            tm = _tile(ref_xyz.shape[0], (2048, 1024, 512, 256, 128))
             idx, d2k = knn_topk_dyn(qc, rc, ref_mask, n_q, n_live, k,
                                     tq=tq, tm=tm)
         else:
+            tm = _tile(ref_xyz.shape[0], (2048, 1024, 512, 256, 128))
             idx, d2k = knn_topk(qc, q_mask, rc, ref_mask, k, tq=tq,
                                 tm=tm, n_ref=n_live)
         invalid = d2k > 1e28
