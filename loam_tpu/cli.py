@@ -147,6 +147,11 @@ def main(argv=None) -> int:
     if args.mode == "online":
         from .runtime.streaming import StreamingEngine
 
+        if args.live_port >= 0 or args.stream_clouds:
+            # the live viewer's 4th rviz display
+            # (/velodyne_cloud_registered) needs the engine to thread the
+            # full-res cloud through mapping
+            cfg = dataclasses.replace(cfg, emit_registered=True)
         eng = StreamingEngine(cfg)
         eng.start()
         live = None

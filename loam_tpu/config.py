@@ -208,6 +208,19 @@ class LoamConfig:
     # (src/laserMapping.cpp:717-719,824-826): pruning can only hide
     # neighbors the gate rejects anyway (ops/pallas/knn_topk.knn_points).
     map_knn_prune: bool = True
+    # Exact-kNN re-query cadence: 1 (default) = the reference's strict
+    # per-iteration kd re-query (src/laserMapping.cpp:717,824); n > 1 =
+    # the fused kernel gathers each query's top-map_exact_cache_k
+    # candidates once per n iterations and the iterations re-rank that
+    # cache with the (Q, k)-shaped kselect kernel.  Per-iteration GN
+    # updates are millimetric while the cache spans ~2x the 1 m gate,
+    # so the cached top-k stays a superset of the true gated 5-NN;
+    # knn_regather_drift re-gathers mid-round on a bad motion prior.
+    # Accuracy A/B: tests/test_golden_parity.py::
+    # test_exact_knn_hybrid_parity holds the same 5 cm oracle gate at
+    # n=5; tests/test_knn_prune.py pins hybrid-vs-strict pose agreement.
+    map_exact_regather_every: int = 1
+    map_exact_cache_k: int = 8
     # cached NN candidates per query (map_exact_knn=False): the 27-cell
     # gather runs once per mapping frame; GN iterations re-rank this
     # top-K cache (a superset of the gated 5-NN for millimetric

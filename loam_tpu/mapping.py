@@ -118,26 +118,32 @@ def _surf_map_residuals(nn_fn, q_body, q_mask, tobe, cfg: LoamConfig):
 
 
 def _exact_nn_fns(corner_local, surf_local, cfg: LoamConfig,
-                  n_q_corner=None, n_q_surf=None):
-    """Per-iteration exact 5-NN against the compacted local map — the
+                  n_q_corner=None, n_q_surf=None, k: int | None = None):
+    """Per-iteration exact k-NN against the compacted local map — the
     reference's kd re-query semantics (src/laserMapping.cpp:717,824) via
     the fused Pallas distance/top-k kernel.  n_q_*: live counts of the
     (front-compacted) query stacks — lets the kernel skip dead query
     blocks on top of dead reference tiles.
 
     cfg.map_knn_prune additionally windows each query block to the
-    reference tiles within the 1 m^2 gate radius on the local map's
-    sort axis — exact within the gate, since hidden neighbors are
-    exactly those the gate rejects."""
+    reference tiles within the search-window radius on the local map's
+    sort axis — exact within the caller's distance gate, since hidden
+    neighbors are exactly those the gate rejects.  The window widens
+    when k > map_knn (the candidate-cache gather): cached neighbors up
+    to ~2x the gate still participate in later re-rank iterations."""
     from .ops.pallas.knn_topk import knn_points
 
-    window = (
-        float(cfg.map_nn_gate_sq) ** 0.5 if cfg.map_knn_prune else None
-    )
+    if k is None:
+        k = cfg.map_knn
+    window = None
+    if cfg.map_knn_prune:
+        window = float(cfg.map_nn_gate_sq) ** 0.5
+        if k > cfg.map_knn:
+            window *= 2.0
 
     def nn_c(q):
         return knn_points(
-            q, None, corner_local.xyz, corner_local.mask, cfg.map_knn,
+            q, None, corner_local.xyz, corner_local.mask, k,
             n_q=n_q_corner,
             prune_axis=corner_local.sort_axis if cfg.map_knn_prune
             else None,
@@ -146,7 +152,7 @@ def _exact_nn_fns(corner_local, surf_local, cfg: LoamConfig,
 
     def nn_s(q):
         return knn_points(
-            q, None, surf_local.xyz, surf_local.mask, cfg.map_knn,
+            q, None, surf_local.xyz, surf_local.mask, k,
             n_q=n_q_surf,
             prune_axis=surf_local.sort_axis if cfg.map_knn_prune
             else None,
@@ -266,46 +272,6 @@ def gauss_newton_mapping(tobe0, corner_index, surf_index,
         nan_skip=jnp.int32(0),
     )
 
-    if cfg.map_exact_knn:
-        if cfg.map_knn_prune:
-            # query blocks become thin slabs on the map's sort axis at
-            # the motion-prior pose (per-iteration updates are
-            # millimetric, so slabs stay thin through the solve)
-            corner_stack = _sort_stack_axis(
-                corner_stack, tobe0, corner_index.sort_axis
-            )
-            surf_stack = _sort_stack_axis(
-                surf_stack, tobe0, surf_index.sort_axis
-            )
-        nn_c0, nn_s0 = _exact_nn_fns(
-            corner_index, surf_index, cfg,
-            n_q_corner=jnp.sum(corner_stack.mask.astype(jnp.int32)),
-            n_q_surf=jnp.sum(surf_stack.mask.astype(jnp.int32)),
-        )
-
-        def cond(c):
-            return (c["it"] < cfg.map_max_iters) & ~c["converged"]
-
-        def body(c):
-            return _map_iteration(
-                c, nn_c0, nn_s0, corner_stack, surf_stack, cfg
-            )
-
-        out = jax.lax.while_loop(cond, body, init)
-        return out["tobe"], out["nan_skip"]
-
-    # ---- cached-candidate mode: re-gather rounds --------------------------
-    def gather(pose):
-        qc = rotations.apply_pose(pose, corner_stack.xyz)
-        cand_c, valid_c = map_store.knn_candidates(
-            corner_index, qc, corner_stack.mask, cfg.knn_candidates, cfg
-        )
-        qs = rotations.apply_pose(pose, surf_stack.xyz)
-        cand_s, valid_s = map_store.knn_candidates(
-            surf_index, qs, surf_stack.mask, cfg.knn_candidates, cfg
-        )
-        return cand_c, valid_c, cand_s, valid_s
-
     def nn_fns(cache):
         cand_c, valid_c, cand_s, valid_s = cache
 
@@ -321,44 +287,118 @@ def gauss_newton_mapping(tobe0, corner_index, surf_index,
 
         return nn_c, nn_s
 
-    every = max(1, cfg.map_regather_every)
-    n_rounds = -(-cfg.map_max_iters // every)
+    def rounds_loop(gather, every):
+        """Cached-candidate GN rounds: gather once per round at the
+        current pose, run `every` masked iterations re-ranking the
+        cache, with the drift-triggered mid-round re-gather
+        (cfg.knn_regather_drift) guarding against a bad motion prior."""
+        n_rounds = -(-cfg.map_max_iters // every)
 
-    def round_cond(c):
-        return (c["round"] < n_rounds) & ~c["converged"]
+        def round_cond(c):
+            return (c["round"] < n_rounds) & ~c["converged"]
 
-    def round_body(c):
-        cache = gather(c["tobe"])
-        gather_pose = c["tobe"]
-        for _ in range(every):
-            if cfg.knn_regather_drift > 0:
-                # drift fallback inside the round: if the iterate has
-                # moved beyond the cached set's validity envelope (e.g.
-                # after a bad motion prior), re-gather at the current
-                # pose (src/laserMapping.cpp:717,824 semantics)
-                drift = jnp.linalg.norm(c["tobe"][3:] - gather_pose[3:])
+        def round_body(c):
+            cache = gather(c["tobe"])
+            gather_pose = c["tobe"]
+            for _ in range(every):
+                if cfg.knn_regather_drift > 0:
+                    # drift fallback inside the round: if the iterate
+                    # has moved beyond the cached set's validity
+                    # envelope (e.g. after a bad motion prior),
+                    # re-gather at the current pose
+                    # (src/laserMapping.cpp:717,824 semantics)
+                    drift = jnp.linalg.norm(
+                        c["tobe"][3:] - gather_pose[3:]
+                    )
 
-                def regather(_):
-                    return (c["tobe"],) + gather(c["tobe"])
+                    def regather(_):
+                        return (c["tobe"],) + gather(c["tobe"])
 
-                def keep_cache(_):
-                    return (gather_pose,) + cache
+                    def keep_cache(_):
+                        return (gather_pose,) + cache
 
-                gather_pose, *cache = jax.lax.cond(
-                    drift > cfg.knn_regather_drift, regather, keep_cache,
-                    None,
+                    gather_pose, *cache = jax.lax.cond(
+                        drift > cfg.knn_regather_drift, regather,
+                        keep_cache, None,
+                    )
+                    cache = tuple(cache)
+                nn_c, nn_s = nn_fns(cache)
+                c = _map_iteration(
+                    c, nn_c, nn_s, corner_stack, surf_stack, cfg
                 )
-                cache = tuple(cache)
-            nn_c, nn_s = nn_fns(cache)
-            c = _map_iteration(
-                c, nn_c, nn_s, corner_stack, surf_stack, cfg
-            )
-        return dict(c, round=c["round"] + 1)
+            return dict(c, round=c["round"] + 1)
 
-    out = jax.lax.while_loop(
-        round_cond, round_body, dict(init, round=jnp.int32(0))
-    )
-    return out["tobe"], out["nan_skip"]
+        out = jax.lax.while_loop(
+            round_cond, round_body, dict(init, round=jnp.int32(0))
+        )
+        return out["tobe"], out["nan_skip"]
+
+    if cfg.map_exact_knn:
+        if cfg.map_knn_prune:
+            # query blocks become thin slabs on the map's sort axis at
+            # the motion-prior pose (per-iteration updates are
+            # millimetric, so slabs stay thin through the solve)
+            corner_stack = _sort_stack_axis(
+                corner_stack, tobe0, corner_index.sort_axis
+            )
+            surf_stack = _sort_stack_axis(
+                surf_stack, tobe0, surf_index.sort_axis
+            )
+        n_qc = jnp.sum(corner_stack.mask.astype(jnp.int32))
+        n_qs = jnp.sum(surf_stack.mask.astype(jnp.int32))
+
+        every = max(1, cfg.map_exact_regather_every)
+        if every <= 1:
+            # strict reference semantics: exact 5-NN re-query EVERY
+            # iteration (src/laserMapping.cpp:717,824)
+            nn_c0, nn_s0 = _exact_nn_fns(
+                corner_index, surf_index, cfg, n_qc, n_qs
+            )
+
+            def cond(c):
+                return (c["it"] < cfg.map_max_iters) & ~c["converged"]
+
+            def body(c):
+                return _map_iteration(
+                    c, nn_c0, nn_s0, corner_stack, surf_stack, cfg
+                )
+
+            out = jax.lax.while_loop(cond, body, init)
+            return out["tobe"], out["nan_skip"]
+
+        # hybrid: the fused exact kernel gathers top-map_exact_cache_k
+        # candidates once per round; iterations re-rank that cache with
+        # the (Q, k)-shaped kselect kernel.  Per-iteration pose updates
+        # are millimetric while the cache spans ~2x the 1 m gate, so the
+        # cached top-k(cand) stays a superset of the true gated 5-NN;
+        # the drift trigger re-gathers if a bad prior violates that.
+        kc = max(cfg.map_exact_cache_k, cfg.map_knn)
+        nn_cg, nn_sg = _exact_nn_fns(
+            corner_index, surf_index, cfg, n_qc, n_qs, k=kc
+        )
+
+        def gather_exact(pose):
+            qc = rotations.apply_pose(pose, corner_stack.xyz)
+            cand_c, d2c = nn_cg(qc)
+            qs = rotations.apply_pose(pose, surf_stack.xyz)
+            cand_s, d2s = nn_sg(qs)
+            return cand_c, d2c < 1e28, cand_s, d2s < 1e28
+
+        return rounds_loop(gather_exact, every)
+
+    # ---- cached-candidate (cell-bucket) mode ------------------------------
+    def gather_cells(pose):
+        qc = rotations.apply_pose(pose, corner_stack.xyz)
+        cand_c, valid_c = map_store.knn_candidates(
+            corner_index, qc, corner_stack.mask, cfg.knn_candidates, cfg
+        )
+        qs = rotations.apply_pose(pose, surf_stack.xyz)
+        cand_s, valid_s = map_store.knn_candidates(
+            surf_index, qs, surf_stack.mask, cfg.knn_candidates, cfg
+        )
+        return cand_c, valid_c, cand_s, valid_s
+
+    return rounds_loop(gather_cells, max(1, cfg.map_regather_every))
 
 
 # ---------------------------------------------------------------------------

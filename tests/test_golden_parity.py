@@ -127,6 +127,62 @@ def test_exact_knn_parity_short(straight_runs):
     assert ate < 0.05, f"exact-kNN integrated ATE vs oracle {100*ate:.2f} cm"
 
 
+def test_exact_knn_hybrid_parity(straight_runs):
+    """The hybrid exact-kNN cadence (map_exact_regather_every=5 — the
+    TPU fast mode: fused-kernel candidate gather per round,
+    per-iteration re-rank) must hold the SAME 5 cm oracle gate as the
+    strict per-iteration re-query.  This is the accuracy half of the
+    bench A/B for that knob (config.py)."""
+    oracle, _, _ = straight_runs
+    raw, msk, _ = _make_sequence("straight")
+    cfg = dataclasses.replace(CFG_EXACT, map_exact_regather_every=5)
+    outs = pipeline.replay_sweeps(
+        jnp.asarray(raw[:30]), jnp.asarray(msk[:30]), cfg
+    )
+    est = np.asarray(outs.pose_integrated)[:, 3:6]
+    ref = oracle["integrated"][:30, 3:6]
+    ate = metrics.ate_rmse(est, ref)
+    assert ate < 0.05, f"hybrid integrated ATE vs oracle {100*ate:.2f} cm"
+
+
+def test_full_density_parity():
+    """Full VLP-16 per-sweep load (VERDICT r4 #1): ring_width=2048 with
+    1800-azimuth sweeps (~28k raw points — the envelope's actual
+    workload, src/scanRegistration.cpp:63-66) through the flagship
+    exact-kNN path with reference-default knobs, vs the oracle on the
+    SAME sweeps.  Short (12 frames) to stay CPU-affordable; the
+    half-density 100-frame gates above cover the long-horizon behavior.
+    """
+    Ff = 12
+    world = synth.make_world(seed=21)
+    poses = synth.straight_trajectory(Ff, speed=0.9, yaw_rate=0.1)
+    poses = np.vstack([poses[:1], poses])[: Ff + 1]
+    sweeps = [
+        synth.simulate_sweep(
+            world, poses[k], poses[k + 1], n_azimuth=1800, seed=21 + k
+        )
+        for k in range(Ff)
+    ]
+    raw = np.stack([s[0] for s in sweeps])
+    msk = np.stack([s[1] for s in sweeps])
+    cfg = dataclasses.replace(
+        LoamConfig(),  # ring_width 2048, y_scale 1.05, weight_start 5
+        corner_table_size=1 << 15,
+        surf_table_size=1 << 17,
+        max_corner_from_map=16384,
+        max_surf_from_map=32768,
+    )
+    assert cfg.ring_width == 2048
+    oracle = run_pipeline(raw, msk)
+    outs = pipeline.replay_sweeps(jnp.asarray(raw), jnp.asarray(msk), cfg)
+    est = np.asarray(outs.pose_integrated)[:, 3:6]
+    ref = oracle["integrated"][:, 3:6]
+    ate = metrics.ate_rmse(est, ref)
+    assert ate < 0.05, (
+        f"full-density integrated ATE vs oracle {100 * ate:.2f} cm"
+    )
+
+
 def test_rotation_parity(straight_runs):
     """Yaw (the dominant rotation) stays within 0.2 deg of the oracle."""
     oracle, outs, _ = straight_runs

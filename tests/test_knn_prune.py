@@ -151,6 +151,63 @@ def test_pruned_kernel_gate_equivalent():
         )
 
 
+def test_mapping_hybrid_matches_strict_on_cpu():
+    """The hybrid exact-kNN cadence (map_exact_regather_every=5:
+    fused-kernel candidate gather per round + per-iteration re-rank)
+    must land on the same refined poses as the strict per-iteration
+    re-query on clean data — per-iteration updates are millimetric, so
+    the round cache stays a superset of the gated 5-NN."""
+    from loam_tpu.config import LoamConfig
+    from loam_tpu.io import synth
+    from loam_tpu import frontend, mapping, odometry
+    from loam_tpu.ops.features import extract_features
+
+    strict = dataclasses.replace(
+        LoamConfig(),
+        ring_width=1024,
+        corner_table_size=1 << 14,
+        surf_table_size=1 << 15,
+        max_corner_from_map=8192,
+        max_surf_from_map=16384,
+        map_exact_knn=True,
+        map_exact_regather_every=1,
+    )
+    hybrid = dataclasses.replace(strict, map_exact_regather_every=5)
+
+    world = synth.make_world(seed=6)
+    F = 4
+    poses = synth.straight_trajectory(F + 1, speed=0.8, yaw_rate=0.1)
+    poses = np.vstack([poses[:1], poses])[: F + 2]
+    ostate = odometry.OdomState.create(strict)
+    ms = {"strict": mapping.MapState.create(strict),
+          "hybrid": mapping.MapState.create(hybrid)}
+    n_mapped = 0
+    for k in range(F + 1):
+        xyz, m = synth.simulate_sweep(
+            world, poses[k], poses[k + 1], n_azimuth=600, seed=6 + k
+        )
+        sweep = frontend.ingest_sweep(
+            jnp.asarray(xyz), jnp.asarray(m), strict
+        )
+        feats = extract_features(sweep, strict)
+        ostate, out = odometry.odometry_step(ostate, feats, None, strict)
+        if bool(out.publish_to_mapping):
+            ms["strict"], mo_s = mapping.mapping_step(
+                ms["strict"], out.pose, out.corner_last, out.surf_last,
+                None, strict,
+            )
+            ms["hybrid"], mo_h = mapping.mapping_step(
+                ms["hybrid"], out.pose, out.corner_last, out.surf_last,
+                None, hybrid,
+            )
+            np.testing.assert_allclose(
+                np.asarray(mo_h.pose_aft), np.asarray(mo_s.pose_aft),
+                rtol=0, atol=5e-3,
+            )
+            n_mapped += 1
+    assert n_mapped >= 2
+
+
 def test_mapping_prune_config_invariant_on_cpu():
     """cfg.map_knn_prune only reorders GN rows on the CPU backend (the
     reference knn path ignores the windows): the refined pose must agree

@@ -112,6 +112,32 @@ def test_perturbed_prior_converges_exact_path():
     assert err < 0.05, err
 
 
+def test_perturbed_prior_converges_hybrid_path():
+    """The hybrid exact-kNN cadence (round gathers + re-rank) must also
+    recover from a 0.5 m-perturbed prior: the knn_regather_drift
+    trigger re-gathers the exact-kernel cache mid-round when the
+    iterate escapes its validity envelope."""
+    cfg_h = dataclasses.replace(CFG_EXACT, map_exact_regather_every=5)
+    mstate, out = _built_map()
+    _, clean = mapping.mapping_step(
+        mstate, out.pose, out.corner_last, out.surf_last, None, cfg_h
+    )
+    assert bool(clean.solved)
+    rng = np.random.default_rng(4)
+    d = rng.normal(size=3)
+    d = d / np.linalg.norm(d) * 0.5
+    bad_pose = jnp.asarray(np.asarray(out.pose) + np.concatenate(
+        [np.zeros(3), d]
+    ), jnp.float32)
+    _, pert = mapping.mapping_step(
+        mstate, bad_pose, out.corner_last, out.surf_last, None, cfg_h
+    )
+    err = np.linalg.norm(
+        np.asarray(pert.pose_aft)[3:] - np.asarray(clean.pose_aft)[3:]
+    )
+    assert err < 0.05, err
+
+
 def test_perturbed_prior_diverges_without_regather():
     """Sanity: with the fallback disabled and a 0.5 m prior error, the
     cached candidate set is no longer a superset of the true 5-NN, so the
