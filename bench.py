@@ -115,6 +115,13 @@ def _data(cfg, B, F):
     uniq = min(B, 8)
     na = _n_azimuth(cfg)
     key = (na, F, uniq)
+    disk = f"/tmp/loam_bench_data_{na}_{F}_{uniq}.npz"
+    if key not in _DATA_CACHE and os.path.exists(disk):
+        try:
+            z = np.load(disk)
+            _DATA_CACHE[key] = (z["raw"], z["msk"])
+        except Exception:
+            pass
     if key in _DATA_CACHE:
         raw, msk = _DATA_CACHE[key]
         if B > uniq:
@@ -143,6 +150,10 @@ def _data(cfg, B, F):
     raw = np.stack(raws)
     msk = np.stack(msks)
     _DATA_CACHE[key] = (raw, msk)
+    try:
+        np.savez_compressed(disk, raw=raw, msk=msk)
+    except OSError:
+        pass
     if B > uniq:
         reps = -(-B // uniq)
         raw = np.tile(raw, (reps, 1, 1, 1))[:B]
@@ -220,6 +231,11 @@ def run_once(B: int, F: int, cfg=None, per_stage: bool = False):
     if not np.isfinite(probe).all():
         raise RuntimeError("warmup produced non-finite poses")
 
+    # free the warmup copies before timing: at B=128 full density the
+    # feature pytree alone is ~2 GB of HBM, and holding warmup + timed
+    # copies simultaneously overflows the chip
+    del fall, outs
+
     t0 = time.perf_counter()
     feats_all = front(raw, msk)
     outs, _ = core(feats_all)
@@ -276,8 +292,8 @@ def run_once(B: int, F: int, cfg=None, per_stage: bool = False):
             lambda x: jnp.broadcast_to(x, (B,) + x.shape),
             pipeline.PipelineState.create(cfg),
         )
-        f0 = jax.tree_util.tree_map(lambda x: x[:, 0], fall)
-        feats = jax.tree_util.tree_map(lambda x: x[:, 1], fall)
+        f0 = jax.tree_util.tree_map(lambda x: x[:, 0], feats_all)
+        feats = jax.tree_util.tree_map(lambda x: x[:, 1], feats_all)
         state1, _ = step_nomap(state0, f0)
         # amortized per-frame frontend cost (one batched call / F)
         res["frontend_ms"] = t(lambda: front(raw, msk)) / F
@@ -286,7 +302,37 @@ def run_once(B: int, F: int, cfg=None, per_stage: bool = False):
     return res
 
 
+_TABLE_ROWS = (
+    # full density x B=128 exceeds the chip's 16 GB HBM (the feature
+    # pytree alone is ~2 GB; frontend sort transients push past) — kept
+    # in the sweep as the measured single-chip capacity edge; scale
+    # past it by dp-sharding scenarios over chips (parallel/replay.py)
+    ("full", "hybrid", (8, 32, 64, 128)),
+    ("full", "strict", (8,)),
+    ("half", "hybrid", (8, 32, 128)),
+    ("half", "strict", (8,)),
+)
+
+
+def _row(density: str, mode: str, B: int):
+    """One table row, printed as one JSON line (subprocess entry)."""
+    r = run_once(
+        B, F=17,
+        cfg=_cfg(half=density == "half",
+                 regather=1 if mode == "strict" else 5),
+        per_stage=True,
+    )
+    print(json.dumps({"density": density, "mode": mode, **r}), flush=True)
+
+
 def _table():
+    """Each row runs in a FRESH subprocess: a TPU OOM at one extreme
+    point (full density x B=128 exceeds the chip's HBM) must neither
+    poison the worker state for later rows nor lose the sweep — the
+    round-4 bench crash lesson applied to the sweep level.  The
+    persistent compile cache makes per-row process startup cheap."""
+    import subprocess
+
     lines = [
         "# BENCH — single-chip throughput (real TPU)",
         "",
@@ -309,26 +355,24 @@ def _table():
         "odom-frame ms | scan-matches/s/chip | vs 10 Hz envelope |",
         "|---|---|---|---|---|---|---|---|",
     ]
-    for label, half, mode, regather, Bs in (
-        ("full", False, "hybrid", 5, (8, 32, 128)),
-        ("full", False, "strict", 1, (8,)),
-        ("half", True, "hybrid", 5, (8, 32, 128)),
-        ("half", True, "strict", 1, (8,)),
-    ):
+    here = os.path.abspath(__file__)
+    for label, mode, Bs in _TABLE_ROWS:
         for B in Bs:
-            try:
-                r = run_once(B, F=17,
-                             cfg=_cfg(half=half, regather=regather),
-                             per_stage=True)
-            except Exception as e:
-                # keep the rest of the sweep: one failed point (OOM at
-                # extreme B, worker hiccup) must not lose the table
+            p = subprocess.run(
+                [sys.executable, here, "--one-row", label, mode, str(B)],
+                capture_output=True, text=True, timeout=7200,
+            )
+            r = None
+            for line in p.stdout.splitlines():
+                if line.startswith("{"):
+                    r = json.loads(line)
+            if p.returncode != 0 or r is None:
+                err = (p.stderr.strip().splitlines() or ["?"])[-1][:200]
                 print(json.dumps({
-                    "density": label, "mode": mode, "B": B,
-                    "error": f"{type(e).__name__}: {e}"[:300],
+                    "density": label, "mode": mode, "B": B, "error": err,
                 }), flush=True)
                 lines.append(f"| {label} | {mode} | {B} | — | — | — | "
-                             f"failed: {type(e).__name__} | — |")
+                             f"failed | — |")
                 continue
             lines.append(
                 f"| {label} | {mode} | {B} | {r['frontend_ms']:.1f} | "
@@ -336,8 +380,7 @@ def _table():
                 f"{r['scan_matches_per_s_per_chip']:.1f} | "
                 f"{r['scan_matches_per_s_per_chip'] / 10.0:.1f}x |"
             )
-            print(json.dumps({"density": label, "mode": mode, **r}),
-                  flush=True)
+            print(json.dumps(r), flush=True)
     with open(os.path.join(os.path.dirname(__file__), "BENCH.md"),
               "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -360,6 +403,10 @@ def _ab():
 
 def main():
     args = sys.argv[1:]
+    if "--one-row" in args:
+        i = args.index("--one-row")
+        _row(args[i + 1], args[i + 2], int(args[i + 3]))
+        return
     if "--table" in args:
         _table()
         return
