@@ -161,8 +161,17 @@ def _data(cfg, B, F):
     return raw, msk
 
 
-def run_once(B: int, F: int, cfg=None, per_stage: bool = False):
-    """Returns dict with rates (and per-stage ms when requested)."""
+def run_once(B: int, F: int, cfg=None, per_stage: bool = False,
+             chunk: int | None = None):
+    """Returns dict with rates (and per-stage ms when requested).
+
+    chunk: scenario-chunked dispatch — lax.map over chunks of the
+    scenario axis for BOTH the frontend and the recurrent core.  The
+    math is identical; what changes is that each chunk's batched
+    while_loops (greedy selection, GN solves) stop at the chunk's OWN
+    worst lane instead of the global batch's.  Measured at B=128 half
+    density: frontend 840 -> 631 ms/step at chunk=8 (~linear in B,
+    VERDICT r4 #3)."""
     import jax
 
     _enable_cache()
@@ -179,27 +188,43 @@ def run_once(B: int, F: int, cfg=None, per_stage: bool = False):
     raw = jnp.asarray(raw_np)
     msk = jnp.asarray(msk_np)
 
+    def chunked(fn):
+        """vmap fn over the scenario axis, lax.map-ed in chunks."""
+        if chunk is None or chunk >= B:
+            return jax.jit(jax.vmap(fn))
+        assert B % chunk == 0, (B, chunk)
+        n = B // chunk
+
+        def run(*xs):
+            resh = jax.tree_util.tree_map(
+                lambda x: x.reshape((n, chunk) + x.shape[1:]), xs
+            )
+            out = jax.lax.map(lambda c: jax.vmap(fn)(*c), resh)
+            return jax.tree_util.tree_map(
+                lambda o: o.reshape((B,) + o.shape[2:]), out
+            )
+
+        return jax.jit(run)
+
     def build(c):
         # frontend batched over scenarios AND frames: each
         # greedy-selection step of the subregion scan is inherently
         # sequential (reference semantics), so throughput comes from
         # giving every sequential step more parallel rows — (B*F, 16)
         # rings at once instead of (B, 16)
-        fr = jax.jit(
-            jax.vmap(jax.vmap(
+        fr = chunked(
+            jax.vmap(
                 lambda x, m: extract_features(
                     frontend.ingest_sweep(x, m, c), c
                 )
-            ))
+            )
         )
         # the whole recurrent core is ONE jitted program: a lax.scan
         # whose body handles one cadence period with static do_mapping
         # flags (pipeline.replay_features_cadenced) — no per-frame host
         # dispatch, no batched lax.cond paying the mapping solve on
         # odometry-only frames
-        co = jax.jit(jax.vmap(
-            lambda f: pipeline.replay_features_cadenced(f, c)
-        ))
+        co = chunked(lambda f: pipeline.replay_features_cadenced(f, c))
         return fr, co
 
     front, core = build(cfg)
@@ -279,15 +304,16 @@ def run_once(B: int, F: int, cfg=None, per_stage: bool = False):
             return (time.perf_counter() - t0) / n * 1000
 
         # per-stage numbers use standalone single-step jits (the
-        # production path is the fused `core` scan timed above)
-        step_map = jax.jit(jax.vmap(
+        # production path is the fused `core` scan timed above), with
+        # the same scenario-chunked dispatch as the timed path
+        step_map = chunked(
             lambda s, f: pipeline.pipeline_step(s, f, None, cfg,
                                                 do_mapping=True)
-        ))
-        step_nomap = jax.jit(jax.vmap(
+        )
+        step_nomap = chunked(
             lambda s, f: pipeline.pipeline_step(s, f, None, cfg,
                                                 do_mapping=False)
-        ))
+        )
         state0 = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape),
             pipeline.PipelineState.create(cfg),
@@ -314,14 +340,16 @@ _TABLE_ROWS = (
 )
 
 
-def _row(density: str, mode: str, B: int):
+def _row(density: str, mode: str, B: int, chunk: int | None = None):
     """One table row, printed as one JSON line (subprocess entry)."""
     r = run_once(
         B, F=17,
         cfg=_cfg(half=density == "half",
                  regather=1 if mode == "strict" else 5),
         per_stage=True,
+        chunk=chunk,
     )
+    r["chunk"] = chunk
     print(json.dumps({"density": density, "mode": mode, **r}), flush=True)
 
 
@@ -405,7 +433,8 @@ def main():
     args = sys.argv[1:]
     if "--one-row" in args:
         i = args.index("--one-row")
-        _row(args[i + 1], args[i + 2], int(args[i + 3]))
+        chunk = int(args[i + 4]) if len(args) > i + 4 else None
+        _row(args[i + 1], args[i + 2], int(args[i + 3]), chunk)
         return
     if "--table" in args:
         _table()
