@@ -30,7 +30,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import LoamConfig
-from . import replay as replay_mod
+
+# NOTE: the replay module is imported lazily inside the functions that
+# need it — importing it pulls pipeline/map_store, whose module-level
+# jnp constants initialize the XLA backend, and initialize() MUST be
+# callable before any backend init (jax.distributed contract).
 
 
 def initialize(coordinator_address: str | None = None,
@@ -105,6 +109,8 @@ def replay_distributed(local_raw, local_mask, cfg: LoamConfig,
     """
     import time
 
+    from . import replay as replay_mod
+
     if mesh is None:
         mesh = global_mesh(tp=tp)
     raw, mask = shard_scenarios_from_local(local_raw, local_mask, mesh)
@@ -157,6 +163,8 @@ def scaling_efficiency(cfg: LoamConfig, b_per_chip: int = 2, frames: int = 8,
     measures ICI-only scaling on a single host.
     """
     import time
+
+    from . import replay as replay_mod
 
     devices = jax.devices()
     sizes = [s if s is not None else len(devices) for s in dp_sizes]
