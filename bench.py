@@ -458,6 +458,7 @@ def main():
         "n_azimuth": r["n_azimuth"],
         "odom_y_scale": r["odom_y_scale"],
         "odom_weight_start_iter": r["odom_weight_start_iter"],
+        "map_exact_regather_every": r["map_exact_regather_every"],
         "selection_path": r["selection_path"],
         "walk_kernel_ok": r["walk_kernel_ok"],
         "fallback_used": r["fallback_used"],
