@@ -48,6 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip", type=int, default=None,
                    help="initial sweeps to drop (default: systemDelay)")
     p.add_argument("--ring-width", type=int, default=2048)
+    p.add_argument(
+        "--knn-cadence", choices=("strict", "fast"), default="strict",
+        help="mapping exact-kNN re-query cadence: strict = the "
+             "reference's per-iteration kd re-query (default); fast = "
+             "fused top-8 gather per 5-iteration round + per-iteration "
+             "re-rank (1.5x the mapping frame on TPU; 5 cm oracle gate "
+             "holds — see config.map_exact_regather_every)",
+    )
     p.add_argument("--report-timing", action="store_true")
     p.add_argument(
         "--stream-clouds", action="store_true",
@@ -82,7 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
 def _config(args):
     from .config import LoamConfig
 
-    return dataclasses.replace(LoamConfig(), ring_width=args.ring_width)
+    return dataclasses.replace(
+        LoamConfig(),
+        ring_width=args.ring_width,
+        map_exact_regather_every=5 if args.knn_cadence == "fast" else 1,
+    )
 
 
 def _load_data(args, cfg):
