@@ -17,7 +17,7 @@ def timeit(fn, n=10):
     return (time.perf_counter() - t0) / n * 1000
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-cfg = _cfg()
+cfg = _cfg(half=True)
 raw_np, msk_np = _data(cfg, B, 2)
 raw, msk = jnp.asarray(raw_np[:, 1]), jnp.asarray(msk_np[:, 1])
 

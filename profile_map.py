@@ -19,7 +19,7 @@ def timeit(fn, n=8):
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 F = 6
-cfg = _cfg()
+cfg = _cfg(half=True)
 raw_np, msk_np = _data(cfg, B, F)
 raw, msk = jnp.asarray(raw_np), jnp.asarray(msk_np)
 front = jax.jit(jax.vmap(lambda x, m: extract_features(frontend.ingest_sweep(x, m, cfg), cfg)))

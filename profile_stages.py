@@ -37,7 +37,7 @@ def timeit(fn, n=8):
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     F = 6
-    cfg = _cfg()
+    cfg = _cfg(half=True)
     raw_np, msk_np = _data(cfg, B, F)
     raw = jnp.asarray(raw_np)
     msk = jnp.asarray(msk_np)

@@ -8,6 +8,20 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """Serializing this module's big tp-sharded / vmapped-replay
+    executables for the persistent cache segfaults this container's
+    jaxlib when the in-process cache is already hot from the full suite
+    (reproducible at the same put_executable_and_time write; standalone
+    runs are fine).  The cache write is pure optimization — skip it for
+    this module."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
 from loam_tpu.config import LoamConfig
 from loam_tpu.io import synth
 from loam_tpu import pipeline

@@ -30,11 +30,11 @@ paths = {
 print(f"frontend ms per batched call (F={F} frames folded in)")
 print("| B | " + " | ".join(paths) + " |")
 for B in (8, 32, 128):
-    raw_np, msk_np = _data(_cfg(), B, F)
+    raw_np, msk_np = _data(_cfg(half=True), B, F)
     raw, msk = jnp.asarray(raw_np), jnp.asarray(msk_np)
     row = []
     for name, kw in paths.items():
-        cfg = dataclasses.replace(_cfg(), **kw)
+        cfg = dataclasses.replace(_cfg(half=True), **kw)
         f = jax.jit(jax.vmap(jax.vmap(
             lambda x, m: extract_features(frontend.ingest_sweep(x, m, cfg), cfg)
         )))

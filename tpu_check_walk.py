@@ -19,7 +19,7 @@ def timeit(fn, n=10):
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 # force the kernel path (the production default is the measured-fastest
 # XLA walk; this script validates the Pallas alternative stays correct)
-cfg_k = dataclasses.replace(_cfg(), select_argmax=False,
+cfg_k = dataclasses.replace(_cfg(half=True), select_argmax=False,
                             select_walk_kernel=True)
 cfg_x = dataclasses.replace(cfg_k, select_walk_kernel=False)
 raw_np, msk_np = _data(cfg_k, B, 2)
