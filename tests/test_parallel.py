@@ -11,16 +11,22 @@ import pytest
 
 @pytest.fixture(autouse=True, scope="module")
 def _no_persistent_cache():
-    """Serializing this module's big tp-sharded / vmapped-replay
-    executables for the persistent cache segfaults this container's
-    jaxlib when the in-process cache is already hot from the full suite
-    (reproducible at the same put_executable_and_time write; standalone
-    runs are fine).  The cache write is pure optimization — skip it for
-    this module."""
+    """executable.serialize() on this module's big tp-sharded /
+    vmapped-replay executables segfaults this container's jaxlib when
+    the full suite runs (reproducible at the same
+    put_executable_and_time frame; standalone runs are fine).  The
+    persistent-cache write is pure optimization — disable it for this
+    module.  NOTE: jax caches the cache object in a module global, so
+    changing the config dir alone is not enough; reset_cache() forces
+    re-initialization against the new (None) dir."""
+    from jax._src import compilation_cache as cc
+
     old = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    cc.reset_cache()
     yield
     jax.config.update("jax_compilation_cache_dir", old)
+    cc.reset_cache()
 
 from loam_tpu.config import LoamConfig
 from loam_tpu.io import synth
