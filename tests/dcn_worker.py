@@ -36,8 +36,12 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # per-process cache dir: two workers writing the SHARED suite cache
+    # concurrently corrupted entries (r5: later suite tests then
+    # segfaulted deserializing them); stable per process_id so reruns
+    # still hit
     jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/loam_jax_cache_cpu"
+        "jax_compilation_cache_dir", f"/tmp/loam_jax_cache_dcn{pid}"
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
