@@ -19,9 +19,26 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", "/tmp/loam_jax_cache_cpu"
 )
 
+import pytest  # noqa: E402
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_executables_between_modules():
+    """Running the whole suite in ONE process accumulates dozens of
+    large compiled executables; on this container's jaxlib the
+    accumulation eventually segfaults a later big XLA:CPU compile
+    (reproduced at ~the same suite position across cache states, never
+    in module-sized runs).  Dropping the in-process executable caches
+    after each module bounds that pressure; the persistent compile
+    cache still makes cross-run recompiles cheap."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
 # this jax build ignores the JAX_COMPILATION_CACHE_DIR env var — only the
 # config update enables the persistent cache (big win: the golden-parity
 # and long-sequence tests are compile-heavy)
